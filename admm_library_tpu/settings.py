@@ -1,0 +1,72 @@
+"""Solver settings (SURVEY.md §5.6 config/flag system).
+
+A frozen, hashable dataclass so the whole Settings object can be a `jit`
+static argument: changing a setting retraces, using the same settings hits
+the compile cache. Mirrors OSQP's settings surface (reference ships no code;
+see SURVEY.md §0) specialised for the TPU execution model (check_every
+amortises residual checks across fused iterations of the on-device
+`lax.while_loop`).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    # --- ADMM penalty / splitting parameters (OSQP defaults) ---
+    rho: float = 0.1            # initial penalty rho-bar
+    rho_eq_scale: float = 1e3   # rho boost on equality rows (l == u)
+    sigma: float = 1e-6         # x-update regularisation
+    alpha: float = 1.6          # over-relaxation in (0, 2)
+
+    # --- termination ---
+    eps_abs: float = 1e-6
+    eps_rel: float = 1e-6
+    eps_pinf: float = 1e-8      # primal infeasibility tolerance
+    eps_dinf: float = 1e-8      # dual infeasibility tolerance
+    max_iter: int = 20000
+    check_every: int = 25       # residual/termination cadence (on-device)
+
+    # --- adaptive rho (A4) ---
+    adaptive_rho: bool = True
+    adaptive_rho_interval: int = 100   # in iterations; multiple of check_every
+    adaptive_rho_tol: float = 5.0      # update only if ratio drifts this much
+    rho_min: float = 1e-6
+    rho_max: float = 1e6
+
+    # --- scaling (K4) ---
+    scaling_iters: int = 10     # 0 disables Ruiz equilibration
+
+    # --- linear system backend (L0) ---
+    # 'auto' | 'chol' (dense Cholesky of condensed system)
+    # | 'inv' (explicit inverse; per-iteration solve = one matmul, MXU path)
+    # | 'banded' (block-tridiagonal Cholesky, MPC structure, K2)
+    # | 'cg' (matrix-free conjugate gradient, K3)
+    # | 'pallas_cg' (Pallas TPU batched CG kernel, K3)
+    backend: str = "auto"
+    cg_tol: float = 1e-9
+    cg_max_iter: int = 200
+    refine_steps: int = 0       # iterative-refinement steps on the KKT solve
+
+    # --- banded backend structure hints (set by MPC builders) ---
+    # Block-tridiagonal block size; 0 means "not banded".
+    band_block: int = 0
+
+    # --- misc ---
+    warm_start: bool = True
+    polish: bool = False
+    polish_refine_steps: int = 3
+    history: int = 0            # residual ring-buffer slots (0 disables)
+
+    def replace(self, **kw) -> "Settings":
+        return dataclasses.replace(self, **kw)
+
+    def __post_init__(self):
+        if not (0.0 < self.alpha < 2.0):
+            raise ValueError("alpha must be in (0, 2)")
+        if self.check_every < 1:
+            raise ValueError("check_every must be >= 1")
+        if self.backend not in (
+                "auto", "chol", "inv", "banded", "cg", "pallas_cg"):
+            raise ValueError(f"unknown backend {self.backend!r}")
