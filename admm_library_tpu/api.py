@@ -33,7 +33,8 @@ def resolve_backend(settings: Settings, qp_n: int | None = None) -> str:
     return "inv" if jax.default_backend() == "tpu" else "chol"
 
 
-def _solve_core(qp: QPData, x0, z0, y0, settings: Settings, backend: str):
+def _solve_one_phase(qp: QPData, x0, z0, y0, settings: Settings,
+                     backend: str):
     qps, scaling = ruiz_equilibrate(qp, settings.scaling_iters)
     if settings.warm_start:
         xs = scaling.scale_x(x0)
@@ -53,6 +54,68 @@ def _solve_core(qp: QPData, x0, z0, y0, settings: Settings, backend: str):
         r_prim=carry.r_prim, r_dual=carry.r_dual,
         obj=objective(qp, x, z), rho=carry.rho_bar,
         history=carry.hist)
+
+
+def _x64_available() -> bool:
+    return jax.config.jax_enable_x64
+
+
+def _solve_core(qp: QPData, x0, z0, y0, settings: Settings, backend: str):
+    """Precision-strategy dispatcher around the single-phase solver.
+
+    'hybrid' runs the bulk of the iterations in f32 (MXU-native; TPU has
+    no hardware f64) to a relaxed tolerance, then re-equilibrates in f64
+    and warm-starts a second phase to the target tolerance. On TPU the
+    f64 phase is XLA-emulated but latency-bound at these problem sizes
+    (measured: (128,600)x(600,300) matmul f64 == f32 at ~26 us), so the
+    extra cost is a few hundred cheap iterations — this is what makes
+    1e-6 primal/dual residuals reachable on TPU (SURVEY.md §7).
+    """
+    precision = settings.precision
+    if precision == "hybrid" and not _x64_available():
+        precision = "single"    # no f64 types: best effort in f32
+
+    if precision == "single":
+        return _solve_one_phase(qp, x0, z0, y0, settings, backend)
+
+    if precision == "double":
+        qp64 = qp.astype(jnp.float64)
+        sol = _solve_one_phase(
+            qp64, x0.astype(jnp.float64), z0.astype(jnp.float64),
+            y0.astype(jnp.float64), settings, backend)
+        return sol
+
+    # --- hybrid ---
+    eps32 = max(settings.hybrid_eps, settings.eps_abs)
+    s32 = settings.replace(
+        precision="single",
+        eps_abs=eps32,
+        eps_rel=max(settings.hybrid_eps, settings.eps_rel),
+        history=0)
+    sol32 = _solve_one_phase(
+        qp.astype(jnp.float32), x0.astype(jnp.float32),
+        z0.astype(jnp.float32), y0.astype(jnp.float32), s32, backend)
+
+    s64 = settings.replace(precision="single", warm_start=True)
+    qp64 = qp.astype(jnp.float64)
+    sol64 = _solve_one_phase(
+        qp64, sol32.x.astype(jnp.float64), sol32.z.astype(jnp.float64),
+        sol32.y.astype(jnp.float64), s64, backend)
+
+    # Preserve an infeasibility verdict from phase 1 (phase 2 would also
+    # find it, but phase 1 saw it first — report consistently).
+    p1_inf = (sol32.status == int(Status.PRIMAL_INFEASIBLE)) | (
+        sol32.status == int(Status.DUAL_INFEASIBLE))
+    status = jnp.where(p1_inf, sol32.status, sol64.status)
+    out_dtype = qp.dtype
+    return Solution(
+        x=sol64.x.astype(out_dtype), z=sol64.z.astype(out_dtype),
+        y=sol64.y.astype(out_dtype), status=status,
+        iters=sol32.iters + sol64.iters,
+        r_prim=sol64.r_prim.astype(out_dtype),
+        r_dual=sol64.r_dual.astype(out_dtype),
+        obj=sol64.obj.astype(out_dtype),
+        rho=sol64.rho.astype(out_dtype), history=sol64.history)
 
 
 @partial(jax.jit, static_argnames=("settings", "backend"))

@@ -1,0 +1,146 @@
+"""Benchmark harness — component S2 (SURVEY.md §2.2, §3.4).
+
+Runs the five BASELINE.json configs and reports, per config:
+    iters_per_s        ADMM iterations/s (lockstep loop rate x batch for
+                       batched configs -> problem-iterations/s where noted)
+    wall_clock_s       wall-clock of the timed solve (compile excluded)
+    r_prim / r_dual    final unscaled residual inf-norms
+    status             solver status
+
+The primary BASELINE metric is config 5's lockstep iters/s on the
+1024-scenario Monte-Carlo batch (target: >= 1e4 iters/s per chip on the
+horizon-50 rendezvous set — BASELINE.json "north_star").
+
+The XLA compilation cache is persisted under .jax_cache so wall-clock
+numbers are not compile-dominated across runs (SURVEY.md §3.4).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+# Persist compiled executables across processes (first TPU compile of the
+# full solver is minutes; cached reloads are seconds).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import Settings, solve
+from ..models import monte_carlo as mc
+from ..models.clohessy_wiltshire import build_cw_rendezvous
+from ..models.double_integrator import build_mpc_qp
+from ..models.low_thrust import build_low_thrust_socp
+from ..models.random_qp import random_box_qp
+from ..parallel.batch import solve_batch_shared
+from ..solution import Status
+
+EPS = 1e-6
+
+
+def _timed(fn, *args):
+    """(compile+run once, then timed run) -> (result, seconds)."""
+    jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return out, time.perf_counter() - t0
+
+
+def _report(name, sol, dt, batch=1):
+    iters = np.max(np.asarray(sol.iters))
+    status = np.asarray(sol.status)
+    all_solved = bool(np.all(status == int(Status.SOLVED)))
+    return {
+        "config": name,
+        "status": "SOLVED" if all_solved else "NOT_ALL_SOLVED",
+        "iters": int(iters),
+        "batch": batch,
+        "wall_clock_s": dt,
+        "iters_per_s": float(iters / dt),
+        "problem_iters_per_s": float(iters * batch / dt),
+        "r_prim": float(np.max(np.asarray(sol.r_prim))),
+        "r_dual": float(np.max(np.asarray(sol.r_dual))),
+    }
+
+
+def bench_random_qp(seed: int = 0):
+    """Config 1: box-constrained random dense QP (n=100, m=200)."""
+    qp = random_box_qp(jax.random.PRNGKey(seed))
+    s = Settings(eps_abs=EPS, eps_rel=EPS)
+    sol, dt = _timed(lambda: solve(qp, s))
+    return _report("random_qp", sol, dt)
+
+
+def bench_mpc(seed: int = 0):
+    """Config 2: double-integrator min-energy rendezvous, N=50, banded."""
+    rng = np.random.default_rng(seed)
+    s0 = np.concatenate([rng.uniform(-2, 2, 3), rng.uniform(-0.2, 0.2, 3)])
+    qp, spec = build_mpc_qp(s0, np.zeros(6), N=50, dim=3)
+    s = Settings(eps_abs=EPS, eps_rel=EPS, band_block=spec.block)
+    sol, dt = _timed(lambda: solve(qp, s))
+    return _report("mpc_rendezvous", sol, dt)
+
+
+def bench_cw(seed: int = 0):
+    """Config 3: CW impulsive rendezvous, L1 min-fuel."""
+    rng = np.random.default_rng(seed)
+    s0 = np.array([100.0, -1000.0, 20.0, 0.1, 0.5, -0.05])
+    s0[:3] += rng.uniform(-20, 20, 3)
+    qp, spec = build_cw_rendezvous(s0, N=20)
+    s = Settings(eps_abs=EPS, eps_rel=EPS, max_iter=50000)
+    sol, dt = _timed(lambda: solve(qp, s))
+    return _report("cw_minfuel", sol, dt)
+
+
+def bench_low_thrust(seed: int = 0):
+    """Config 4: low-thrust SOCP, N=200 nodes, thrust-magnitude cones."""
+    s0 = np.array([500.0, -2000.0, 100.0, 0.0, 1.0, -0.1])
+    qp, spec = build_low_thrust_socp(s0, N=200)
+    s = Settings(eps_abs=EPS, eps_rel=EPS, band_block=spec.block,
+                 max_iter=50000)
+    sol, dt = _timed(lambda: solve(qp, s))
+    return _report("low_thrust_socp", sol, dt)
+
+
+def bench_monte_carlo(seed: int = 0, batch: int = 1024):
+    """Config 5 — THE BASELINE metric: 1024 dispersed horizon-50
+    rendezvous QPs, shared-matrix batch, lockstep iters/s per chip."""
+    qp, spec, _ = mc.monte_carlo_mpc(
+        jax.random.PRNGKey(seed), batch=batch, N=50, dim=3)
+    s = Settings(eps_abs=EPS, eps_rel=EPS)
+    sol, dt = _timed(lambda: solve_batch_shared(qp, s))
+    return _report("monte_carlo_1024", sol, dt, batch=batch)
+
+
+CONFIGS = {
+    "random_qp": bench_random_qp,
+    "mpc_rendezvous": bench_mpc,
+    "cw_minfuel": bench_cw,
+    "low_thrust_socp": bench_low_thrust,
+    "monte_carlo": bench_monte_carlo,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="ADMM TPU benchmark harness")
+    p.add_argument("configs", nargs="*", default=list(CONFIGS),
+                   help=f"configs to run (default: all of {list(CONFIGS)})")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    out = []
+    for name in args.configs:
+        r = CONFIGS[name](args.seed)
+        out.append(r)
+        print(json.dumps(r), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,18 @@ def rho_vec_of(rho_bar, eq_mask, settings: Settings):
     return jnp.where(eq_mask, settings.rho_eq_scale * rho_bar, rho_bar)
 
 
+def is_equality_row_shared(qp: QPData):
+    """Equality-row mask shared across a bound-batched problem.
+
+    For the shared-matrix batch path (parallel.batch) the per-row rho
+    must be identical across lanes so the cached factor can be shared;
+    Monte-Carlo dispersions perturb bound VALUES, not which rows are
+    equalities, so lane 0's mask is authoritative.
+    """
+    eq = is_equality_row(qp)
+    return eq[0] if eq.ndim > 1 else eq
+
+
 class AdmmCarry(NamedTuple):
     x: jax.Array
     z: jax.Array
@@ -138,9 +150,10 @@ def infeasibility(qp: QPData, scaling: Scaling, dx_s, dy_s, settings):
 
     dx_s, dy_s: SCALED deltas of x and y across the last check interval.
     Conditions are evaluated on unscaled, inf-norm-normalised directions.
-    Extends OSQP's box-only test to L1 rows (support finite iff
-    |dy| <= lam) and SOC rows (support 0 iff -dy in the cone; recession
-    direction must lie in the cone), cf. SURVEY.md §2.2 A6.
+    Extends OSQP's box-only test to L1 rows (penalty rows: a dual ray
+    needs dy_l1 = 0, since the dual set is bounded there) and SOC rows
+    (support 0 iff -dy in the cone; recession direction must lie in the
+    cone), cf. SURVEY.md §2.2 A6.
     """
     cone = qp.cone
     mb, ml = cone.m_box, cone.m_l1
@@ -151,21 +164,22 @@ def infeasibility(qp: QPData, scaling: Scaling, dx_s, dy_s, settings):
     # ---- primal infeasibility from dy ----
     dy = scaling.unscale_y(dy_s)
     ndy = linf(dy)
-    dyn = dy / jnp.maximum(ndy, jnp.finfo(dtype).tiny)
+    dyn = dy / jnp.maximum(ndy, jnp.finfo(dtype).tiny)[..., None]
     # Aᵀ dy (unscaled) = (1/(c d)) Āᵀ dȳ-normalised; recompute from dyn via
     # scaled Ā: Aᵀ dyn = D⁻¹ Āᵀ (E⁻¹ dyn·c)/c ... simplest: use unscaled op.
     Aty = jnp.einsum(
         "...ji,...j->...i", qp.A, scaling.scale_y(dyn)) / (
             scaling.c * scaling.d)
     cond_A = linf(Aty) <= eps_p
-    lu_l = qp.l[..., :mb] / scaling.e[..., :mb]
-    lu_u = qp.u[..., :mb] / scaling.e[..., :mb]
-    sup = _support_box(dyn[..., :mb], lu_l, lu_u, eps_p)
-    if ml:
-        lam_unscaled = qp.lam * scaling.e[..., mb:mb + ml] / scaling.c
-        bad_l1 = jnp.any(
-            jnp.abs(dyn[..., mb:mb + ml]) > lam_unscaled + eps_p, axis=-1)
-        sup = jnp.where(bad_l1, jnp.inf, sup)
+    # Support of the constraint DOMAIN over box + L1 rows. L1 rows are
+    # penalty rows with optional bounds: dom g there is [l, u] (all of R
+    # when unbounded, in which case _support_box correctly returns +inf
+    # for any nonzero dy — a dual ray needs dy = 0 on unbounded penalty
+    # rows since the dual set {|y| <= lam} is bounded there).
+    mbl = mb + ml
+    lu_l = qp.l[..., :mbl] / scaling.e[..., :mbl]
+    lu_u = qp.u[..., :mbl] / scaling.e[..., :mbl]
+    sup = _support_box(dyn[..., :mbl], lu_l, lu_u, eps_p)
     if cone.m_soc:
         soc = dyn[..., mb + ml:]
         if cone.soc_uniform and cone.n_soc:
@@ -189,7 +203,7 @@ def infeasibility(qp: QPData, scaling: Scaling, dx_s, dy_s, settings):
     # ---- dual infeasibility (unboundedness) from dx ----
     dx = scaling.unscale_x(dx_s)
     ndx = linf(dx)
-    dxn = dx / jnp.maximum(ndx, jnp.finfo(dtype).tiny)
+    dxn = dx / jnp.maximum(ndx, jnp.finfo(dtype).tiny)[..., None]
     Pdx = jnp.einsum("...ij,...j->...i", qp.P, dxn / scaling.d) / (
         scaling.c * scaling.d)
     Adx = jnp.einsum("...ij,...j->...i", qp.A, dxn / scaling.d) / scaling.e
@@ -200,10 +214,11 @@ def infeasibility(qp: QPData, scaling: Scaling, dx_s, dy_s, settings):
         qdx = qdx + jnp.sum(
             lam_unscaled * jnp.abs(Adx[..., mb:mb + ml]), axis=-1)
     cond_q = qdx <= -eps_d
-    # Recession of the box rows.
-    bl = qp.l[..., :mb] / scaling.e[..., :mb]
-    bu = qp.u[..., :mb] / scaling.e[..., :mb]
-    av = Adx[..., :mb]
+    # Recession of the constraint domain over box + bounded-L1 rows:
+    # finite bounds force (A dx) = 0 in that direction.
+    bl = qp.l[..., :mb + ml] / scaling.e[..., :mb + ml]
+    bu = qp.u[..., :mb + ml] / scaling.e[..., :mb + ml]
+    av = Adx[..., :mb + ml]
     ok_up = (av <= eps_d) | ~jnp.isfinite(bu)
     ok_lo = (av >= -eps_d) | ~jnp.isfinite(bl)
     cond_box = jnp.all(ok_up & ok_lo, axis=-1)

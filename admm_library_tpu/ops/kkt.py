@@ -70,15 +70,23 @@ def factor_condensed(P, A, sigma, rho_vec, backend: str, band_block: int = 0):
 
 
 def _chol_solve(L, rhs):
-    """Solve (L Lᵀ) x = rhs for rhs with arbitrary leading batch dims.
+    """Solve (L Lᵀ) x = rhs.
 
-    L: (n, n) unbatched lower factor; rhs: (..., n).
+    Two batching regimes:
+      * shared factor: L (n, n), rhs (..., n) — the Monte-Carlo fast
+        path; all lanes go through one pair of triangular solves.
+      * matched batch: L (..., n, n), rhs (..., n) with identical
+        leading dims — per-block factors (consensus P2).
     """
     n = L.shape[-1]
-    flat = rhs.reshape(-1, n).T                      # (n, K)
-    y = solve_triangular(L, flat, lower=True)
+    if L.ndim == 2:
+        flat = rhs.reshape(-1, n).T                  # (n, K)
+        y = solve_triangular(L, flat, lower=True)
+        x = solve_triangular(L, y, lower=True, trans=1)
+        return x.T.reshape(rhs.shape)
+    y = solve_triangular(L, rhs[..., None], lower=True)
     x = solve_triangular(L, y, lower=True, trans=1)
-    return x.T.reshape(rhs.shape)
+    return x[..., 0]
 
 
 def _matvec_M(fac, v):

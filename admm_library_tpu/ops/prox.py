@@ -28,6 +28,17 @@ def soft_threshold(v, thresh):
     return jnp.sign(v) * jnp.maximum(jnp.abs(v) - thresh, 0.0)
 
 
+def soft_threshold_box(v, thresh, l, u):
+    """Prox of thresh*|z| + indicator[l, u] (1-D, elementwise).
+
+    For a 1-D convex objective the constrained prox is the clip of the
+    unconstrained prox, so this composite is EXACT: bounded L1 rows
+    (e.g. per-axis impulse limits with min-fuel cost) need only one row
+    instead of an L1 row + duplicate box row.
+    """
+    return jnp.clip(soft_threshold(v, thresh), l, u)
+
+
 def project_soc_block(t, u, axis=-1):
     """X3: projection onto one second-order cone {(t,u): ||u||_2 <= t}.
 
@@ -92,7 +103,9 @@ def project_cone(v, l, u, lam_over_rho, cone: ConeSpec):
     if mb:
         parts.append(project_box(v[..., :mb], l[..., :mb], u[..., :mb]))
     if ml:
-        parts.append(soft_threshold(v[..., mb:mb + ml], lam_over_rho))
+        parts.append(soft_threshold_box(
+            v[..., mb:mb + ml], lam_over_rho,
+            l[..., mb:mb + ml], u[..., mb:mb + ml]))
     if cone.m_soc:
         parts.append(project_soc_rows(v[..., mb + ml:], cone.soc_dims))
     if len(parts) == 1:

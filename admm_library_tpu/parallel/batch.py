@@ -1,0 +1,319 @@
+"""Batch data parallelism — P1 (SURVEY.md §2.2, §3.2).
+
+Two batch execution models:
+
+1. `api.solve_batch` (generic): `vmap` over the full solver; every lane
+   carries its own (P, A) and its own cached factor. Right when problems
+   differ structurally in data.
+
+2. `solve_batch_shared` (this module, the MXU fast path): all lanes share
+   (P, A, q is optional) and differ only in bounds/linear terms — exactly
+   the Monte-Carlo dispersion shape (BASELINE.json configs[4]: dispersed
+   initial states enter only the constraint bounds). The KKT matrix
+   M = P + sigma I + A^T rho A is factored ONCE and every per-iteration
+   solve is a single (B, n) x (n, n) matmul on the MXU with the factor
+   resident on-chip. The while_loop is lockstep across lanes with
+   per-lane convergence masking (frozen lanes keep their carry; honest
+   per-lane iteration counts).
+
+Sharding: lay the batch over a `('data',)` mesh axis with NamedSharding
+(`shard_batch`). P/A/factor replicate; per-lane state shards; the only
+cross-device traffic inside the loop is the `jnp.any(active)` predicate
+reduction per check interval (SURVEY.md §3.2).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import admm
+from ..core.scaling import ruiz_equilibrate
+from ..ops import fused as fused_ops
+from ..ops import kkt
+from ..problem import QPData, objective
+from ..settings import Settings
+from ..solution import Solution, Status
+from ..api import resolve_backend
+
+_UNSOLVED = jnp.int32(int(Status.UNSOLVED))
+_SOLVED = jnp.int32(int(Status.SOLVED))
+_PINF = jnp.int32(int(Status.PRIMAL_INFEASIBLE))
+_DINF = jnp.int32(int(Status.DUAL_INFEASIBLE))
+
+
+class BatchCarry(NamedTuple):
+    x: jax.Array            # (B, n)
+    z: jax.Array            # (B, m)
+    y: jax.Array            # (B, m)
+    rho_bar: jax.Array      # scalar — shared so the factor stays shared
+    fac: dict
+    it: jax.Array           # scalar int32 (global lockstep count)
+    iters_lane: jax.Array   # (B,) int32 honest per-lane counts
+    status: jax.Array       # (B,) int32
+    r_prim: jax.Array       # (B,)
+    r_dual: jax.Array       # (B,)
+    x_chk: jax.Array
+    y_chk: jax.Array
+
+
+def _geomean_masked(v, mask):
+    """Geometric mean of v over lanes where mask, 1.0 if none."""
+    logv = jnp.where(mask, jnp.log(jnp.maximum(v, 1e-30)), 0.0)
+    cnt = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.exp(jnp.sum(logv) / cnt)
+
+
+def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
+                          x0, z0, y0, backend: str,
+                          band_block: int = 0) -> BatchCarry:
+    """Lockstep batched ADMM with one shared KKT factor.
+
+    `qp` carries UNBATCHED P, A and BATCHED (B, m) l, u (and optionally
+    batched q of shape (B, n)); iterates are (B, .). The shared scalar
+    rho_bar adapts on the geometric-mean residual ratio of the still-
+    active lanes, so the cached factor is refreshed for all lanes at
+    once (a per-lane rho would break factor sharing — SURVEY.md A4).
+    """
+    dtype = qp.dtype
+    eq_mask = admm.is_equality_row_shared(qp)
+    rho0 = jnp.asarray(settings.rho, dtype)
+    B = x0.shape[0]
+
+    def factor(rho_bar):
+        rv = admm.rho_vec_of(rho_bar, eq_mask, settings)
+        return kkt.factor_condensed(
+            qp.P, qp.A, settings.sigma, rv, backend, band_block), rv
+
+    # Fused Pallas iteration kernel: f32 shared-matrix path with an
+    # explicit-inverse factor; interpret mode keeps the identical kernel
+    # running (and tested) on CPU.
+    cone = qp.cone
+    use_fused = (
+        settings.fused != "off"
+        and backend == "inv"
+        and qp.A.ndim == 2
+        and qp.q.ndim == 1
+        and qp.lam.ndim == 1
+        and dtype == jnp.float32
+        and (cone.m_soc == 0 or cone.soc_uniform))
+    fused_interpret = jax.default_backend() != "tpu"
+
+    fac0, _ = factor(rho0)
+    big = jnp.full((B,), jnp.inf, dtype)
+    carry0 = BatchCarry(
+        x=x0, z=z0, y=y0, rho_bar=rho0, fac=fac0,
+        it=jnp.int32(0), iters_lane=jnp.zeros((B,), jnp.int32),
+        status=jnp.full((B,), _UNSOLVED), r_prim=big, r_dual=big,
+        x_chk=x0, y_chk=y0)
+
+    k = settings.check_every
+    interval_checks = max(1, settings.adaptive_rho_interval // k)
+
+    def cond(c: BatchCarry):
+        return jnp.any(c.status == _UNSOLVED) & (c.it < settings.max_iter)
+
+    def body(c: BatchCarry) -> BatchCarry:
+        rho_vec = admm.rho_vec_of(c.rho_bar, eq_mask, settings)
+        active = c.status == _UNSOLVED
+
+        if use_fused:
+            x, z, y = fused_ops.fused_iterate_shared(
+                qp.A, c.fac["Minv"], c.fac["M"], qp.q, rho_vec, qp.lam,
+                qp.l, qp.u, c.x, c.z, c.y, cone=qp.cone,
+                sigma=settings.sigma, alpha=settings.alpha, k=k,
+                refine_steps=settings.refine_steps,
+                interpret=fused_interpret)
+        else:
+            x, z, y = admm.iterate_block(
+                qp, c.fac, c.x, c.z, c.y, rho_vec, settings, backend, k)
+        # Freeze converged/infeasible lanes.
+        am = active[:, None]
+        x = jnp.where(am, x, c.x)
+        z = jnp.where(am, z, c.z)
+        y = jnp.where(am, y, c.y)
+        it = c.it + k
+        iters_lane = c.iters_lane + jnp.where(active, k, 0)
+
+        res = admm.residuals(qp, scaling, x, z, y)
+        r_prim, r_dual = res[0], res[1]
+        eps_p, eps_d = admm.eps_thresholds(res, settings)
+        solved = (r_prim <= eps_p) & (r_dual <= eps_d)
+        pinf, dinf = admm.infeasibility(
+            qp, scaling, x - c.x_chk, y - c.y_chk, settings)
+        new_status = jnp.where(
+            solved, _SOLVED,
+            jnp.where(pinf, _PINF, jnp.where(dinf, _DINF, _UNSOLVED)))
+        status = jnp.where(active, new_status, c.status)
+        r_prim = jnp.where(active, r_prim, c.r_prim)
+        r_dual = jnp.where(active, r_dual, c.r_dual)
+
+        # Shared adaptive rho from the active lanes' geomean ratio.
+        rho_bar, fac = c.rho_bar, c.fac
+        if settings.adaptive_rho:
+            adapt_now = (c.it // k) % interval_checks == (interval_checks - 1)
+            tiny = jnp.finfo(dtype).tiny
+            _, _, nAx, nz, nPx, nAty, nq = res
+            sp = res[0] / jnp.maximum(jnp.maximum(nAx, nz), tiny)
+            sd = res[1] / jnp.maximum(
+                jnp.maximum(jnp.maximum(nPx, nAty), nq), tiny)
+            still = status == _UNSOLVED
+            ratio = jnp.sqrt(_geomean_masked(sp, still)
+                             / jnp.maximum(_geomean_masked(sd, still), tiny))
+            new_rho = jnp.clip(
+                rho_bar * ratio, settings.rho_min, settings.rho_max)
+            tol = settings.adaptive_rho_tol
+            changed = (ratio > tol) | (ratio < 1.0 / tol)
+            do = adapt_now & changed & jnp.any(still)
+            if backend == "cg":
+                rho_bar = jnp.where(do, new_rho, rho_bar)
+                rv = admm.rho_vec_of(rho_bar, eq_mask, settings)
+                fac = dict(c.fac, rho=rv)
+            else:
+                fac = jax.lax.cond(
+                    do, lambda r: factor(r)[0], lambda r: fac, new_rho)
+                rho_bar = jnp.where(do, new_rho, rho_bar)
+
+        return BatchCarry(
+            x=x, z=z, y=y, rho_bar=rho_bar, fac=fac, it=it,
+            iters_lane=iters_lane, status=status,
+            r_prim=r_prim, r_dual=r_dual, x_chk=x, y_chk=y)
+
+    final = jax.lax.while_loop(cond, body, carry0)
+    status = jnp.where(
+        final.status == _UNSOLVED, jnp.int32(int(Status.MAX_ITER)),
+        final.status)
+    return final._replace(status=status)
+
+
+def _phase(qp, x0, z0, y0, settings, backend):
+    qps, scaling = ruiz_equilibrate(qp, settings.scaling_iters)
+    if settings.warm_start:
+        xs = scaling.scale_x(x0)
+        zs = scaling.scale_z(z0)
+        ys = scaling.scale_y(y0)
+    else:
+        xs, zs, ys = x0, z0, y0
+    carry = run_admm_batch_shared(
+        qps, scaling, settings, xs, zs, ys, backend,
+        band_block=settings.band_block)
+    x = scaling.unscale_x(carry.x)
+    z = scaling.unscale_z(carry.z)
+    y = scaling.unscale_y(carry.y)
+    hist = jnp.zeros((0, 3), qp.dtype)
+    return Solution(
+        x=x, z=z, y=y, status=carry.status, iters=carry.iters_lane,
+        r_prim=carry.r_prim, r_dual=carry.r_dual,
+        obj=objective(qp, x, z), rho=carry.rho_bar, history=hist)
+
+
+def _solve_shared_core(qp, x0, z0, y0, settings: Settings, backend: str):
+    precision = settings.precision
+    if precision == "hybrid" and not jax.config.jax_enable_x64:
+        precision = "single"
+    if precision == "single":
+        return _phase(qp, x0, z0, y0, settings, backend)
+    if precision == "double":
+        f = jnp.float64
+        return _phase(qp.astype(f), x0.astype(f), z0.astype(f),
+                      y0.astype(f), settings, backend)
+    s32 = settings.replace(
+        precision="single",
+        eps_abs=max(settings.hybrid_eps, settings.eps_abs),
+        eps_rel=max(settings.hybrid_eps, settings.eps_rel))
+    f32, f64 = jnp.float32, jnp.float64
+    sol32 = _phase(qp.astype(f32), x0.astype(f32), z0.astype(f32),
+                   y0.astype(f32), s32, backend)
+    s64 = settings.replace(precision="single", warm_start=True)
+    sol64 = _phase(qp.astype(f64), sol32.x.astype(f64),
+                   sol32.z.astype(f64), sol32.y.astype(f64), s64, backend)
+    p1_inf = (sol32.status == _PINF) | (sol32.status == _DINF)
+    status = jnp.where(p1_inf, sol32.status, sol64.status)
+    d = qp.dtype
+    return Solution(
+        x=sol64.x.astype(d), z=sol64.z.astype(d), y=sol64.y.astype(d),
+        status=status, iters=sol32.iters + sol64.iters,
+        r_prim=sol64.r_prim.astype(d), r_dual=sol64.r_dual.astype(d),
+        obj=sol64.obj.astype(d), rho=sol64.rho.astype(d),
+        history=sol64.history)
+
+
+@partial(jax.jit, static_argnames=("settings", "backend"))
+def _solve_shared_jit(qp, x0, z0, y0, settings, backend):
+    return _solve_shared_core(qp, x0, z0, y0, settings, backend)
+
+
+def solve_batch_shared(qp: QPData, settings: Settings = Settings(),
+                       x0=None, z0=None, y0=None) -> Solution:
+    """Solve B problems sharing (P, A) and differing in (l, u) and/or q.
+
+    `qp` holds unbatched P (n, n) and A (m, n) with batched l, u (B, m)
+    (q may be (n,) shared or (B, n) batched). One factorisation serves
+    the whole batch; per-iteration x-solves are (B, n) MXU matmuls.
+    """
+    if qp.l.ndim < 2:
+        raise ValueError("solve_batch_shared expects batched l/u (B, m); "
+                         "use solve() for a single problem")
+    dtype = qp.dtype
+    B = qp.l.shape[0]
+    n, m = qp.n, qp.m
+    if x0 is None:
+        x0 = jnp.zeros((B, n), dtype)
+    if z0 is None:
+        z0 = jnp.zeros((B, m), dtype)
+    if y0 is None:
+        y0 = jnp.zeros_like(z0)
+    backend = resolve_backend(settings)
+    # pallas_call has no SPMD partitioning rule: when the batch is laid
+    # out across devices (shard_batch), fall back to the XLA iteration
+    # body, which partitions cleanly along the data axis.
+    try:
+        sharded = isinstance(qp.l, jax.Array) and len(qp.l.devices()) > 1
+    except Exception:
+        sharded = False
+    if sharded and settings.fused != "off":
+        settings = settings.replace(fused="off")
+    return _solve_shared_jit(qp, x0, z0, y0, settings, backend)
+
+
+def make_data_mesh(n_devices: int | None = None,
+                   devices=None, axis: str = "data") -> Mesh:
+    """1-D device mesh over the data-parallel axis (P1)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    import numpy as np
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(qp: QPData, mesh: Mesh, x0=None, z0=None, y0=None,
+                axis: str = "data"):
+    """Place a shared-matrix problem batch on a data-parallel mesh.
+
+    Batched leaves (l, u, batched q, iterates) shard along `axis`;
+    unbatched leaves (P, A, shared q) replicate. Returns the resharded
+    (qp, x0, z0, y0) ready for `solve_batch_shared` — XLA then keeps
+    every per-lane computation device-local; only the loop predicate
+    reduction crosses ICI (SURVEY.md §3.2).
+    """
+    def put(arr, batched):
+        spec = P(axis) if batched else P()
+        s = NamedSharding(mesh, spec)
+        return jax.device_put(arr, s)
+
+    qp2 = QPData(
+        P=put(qp.P, qp.P.ndim > 2),
+        q=put(qp.q, qp.q.ndim > 1),
+        A=put(qp.A, qp.A.ndim > 2),
+        l=put(qp.l, qp.l.ndim > 1),
+        u=put(qp.u, qp.u.ndim > 1),
+        lam=put(qp.lam, qp.lam.ndim > 1),
+        cone=qp.cone)
+    out = [qp2]
+    for arr in (x0, z0, y0):
+        out.append(None if arr is None else put(arr, True))
+    return tuple(out)

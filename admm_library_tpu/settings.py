@@ -38,6 +38,16 @@ class Settings:
     # --- scaling (K4) ---
     scaling_iters: int = 10     # 0 disables Ruiz equilibration
 
+    # --- precision strategy (SURVEY.md §7 "f64 on TPU") ---
+    # 'hybrid' (default): bulk iterations in f32 (MXU-native) down to
+    #   `hybrid_eps`, then a warm-started f64 phase to the target eps.
+    #   TPU f64 is XLA-emulated but the f64 phase only runs the final
+    #   stretch, so the wall-clock cost is small and 1e-6 is reachable.
+    # 'single': solve entirely in the problem's own dtype.
+    # 'double': cast the problem to f64 up front.
+    precision: str = "hybrid"
+    hybrid_eps: float = 1e-4    # f32 phase target (abs and rel)
+
     # --- linear system backend (L0) ---
     # 'auto' | 'chol' (dense Cholesky of condensed system)
     # | 'inv' (explicit inverse; per-iteration solve = one matmul, MXU path)
@@ -47,11 +57,18 @@ class Settings:
     backend: str = "auto"
     cg_tol: float = 1e-9
     cg_max_iter: int = 200
-    refine_steps: int = 0       # iterative-refinement steps on the KKT solve
+    refine_steps: int = 1       # iterative-refinement steps on the KKT solve
 
     # --- banded backend structure hints (set by MPC builders) ---
     # Block-tridiagonal block size; 0 means "not banded".
     band_block: int = 0
+
+    # --- fused Pallas iteration kernel (shared-matrix batch path) ---
+    # 'auto': use the VMEM-resident fused kernel for the f32 phase of
+    #         solve_batch_shared when the backend is 'inv' (interpret
+    #         mode off-TPU so tests cover the same code); 'on' forces,
+    #         'off' disables.
+    fused: str = "auto"
 
     # --- misc ---
     warm_start: bool = True
@@ -70,3 +87,7 @@ class Settings:
         if self.backend not in (
                 "auto", "chol", "inv", "banded", "cg", "pallas_cg"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.precision not in ("hybrid", "single", "double"):
+            raise ValueError(f"unknown precision {self.precision!r}")
+        if self.fused not in ("auto", "on", "off"):
+            raise ValueError(f"unknown fused mode {self.fused!r}")

@@ -1,0 +1,87 @@
+"""Shared-matrix batch path + data-parallel sharding (P1, SURVEY.md §4.4).
+
+Runs on the 8-device virtual CPU mesh from conftest.py.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from admm_library_tpu import Settings, Status, solve
+from admm_library_tpu.models import monte_carlo as mc
+from admm_library_tpu.models.double_integrator import rollout
+from admm_library_tpu.parallel.batch import (
+    make_data_mesh, shard_batch, solve_batch_shared)
+from admm_library_tpu.problem import QPData
+
+TOL = Settings(eps_abs=1e-8, eps_rel=1e-8)
+
+
+def _lane(qp, i):
+    """Extract lane i of a bound-batched problem as a single problem."""
+    return QPData(P=qp.P, q=qp.q, A=qp.A, l=qp.l[i], u=qp.u[i],
+                  lam=qp.lam, cone=qp.cone)
+
+
+def test_shared_batch_matches_single():
+    qp, spec, s0s = mc.monte_carlo_mpc(
+        jax.random.key(0), batch=4, N=8, dim=2, dtype=jnp.float64)
+    sols = solve_batch_shared(qp, TOL)
+    assert np.all(np.asarray(sols.status) == int(Status.SOLVED))
+    for i in range(4):
+        single = solve(_lane(qp, i), TOL)
+        np.testing.assert_allclose(sols.x[i], single.x, atol=1e-5)
+
+
+def test_shared_batch_physics():
+    qp, spec, s0s = mc.monte_carlo_mpc(
+        jax.random.key(1), batch=6, N=10, dim=2, dtype=jnp.float64)
+    sols = solve_batch_shared(qp, TOL)
+    for i in range(6):
+        states = rollout(spec, s0s[i], sols.x[i])
+        assert float(jnp.max(jnp.abs(states[-1]))) < 1e-5
+
+
+def test_shared_batch_banded_backend():
+    qp, spec, _ = mc.monte_carlo_mpc(
+        jax.random.key(2), batch=4, N=8, dim=2, dtype=jnp.float64)
+    s = TOL.replace(band_block=spec.block)
+    sols = solve_batch_shared(qp, s)
+    assert np.all(np.asarray(sols.status) == int(Status.SOLVED))
+
+
+def test_shared_batch_honest_lane_iters():
+    qp, spec, _ = mc.monte_carlo_mpc(
+        jax.random.key(3), batch=8, N=8, dim=2, dtype=jnp.float64)
+    sols = solve_batch_shared(qp, TOL)
+    iters = np.asarray(sols.iters)
+    assert iters.shape == (8,)
+    # Lanes converge at different checks; counts must not all be equal
+    # to the global lockstep maximum unless they genuinely coincide.
+    assert np.all(iters > 0)
+    assert np.all(iters % TOL.check_every == 0)
+
+
+def test_sharded_batch_over_mesh():
+    """P1 over an 8-device mesh: results identical to unsharded run."""
+    assert jax.device_count() >= 8
+    qp, spec, _ = mc.monte_carlo_mpc(
+        jax.random.key(4), batch=16, N=6, dim=2, dtype=jnp.float64)
+    ref = solve_batch_shared(qp, TOL)
+
+    mesh = make_data_mesh(8)
+    qp_s, *_ = shard_batch(qp, mesh)
+    sols = solve_batch_shared(qp_s, TOL)
+    assert np.all(np.asarray(sols.status) == int(Status.SOLVED))
+    np.testing.assert_allclose(sols.x, ref.x, atol=1e-9)
+
+
+def test_shared_batch_cw_l1():
+    qp, spec, s0s = mc.monte_carlo_cw(
+        jax.random.key(5), batch=4, N=6, dtype=jnp.float64)
+    sols = solve_batch_shared(qp, Settings(
+        eps_abs=1e-8, eps_rel=1e-8, max_iter=40000))
+    assert np.all(np.asarray(sols.status) == int(Status.SOLVED))
+    from admm_library_tpu.models import clohessy_wiltshire as cw
+    for i in range(4):
+        states = cw.propagate(spec, s0s[i], sols.x[i])
+        assert float(jnp.max(jnp.abs(states[-1]))) < 1e-3

@@ -74,13 +74,19 @@ def test_soc_projection_optimality():
 def test_product_cone_layout():
     cone = ConeSpec(m_box=2, m_l1=2, soc_dims=(3, 3))
     v = jnp.arange(10.0) - 4.0
-    l = jnp.full(10, -0.5)
-    u = jnp.full(10, 0.5)
+    # L1 rows honour their bounds (composite soft-threshold+clip prox);
+    # +-inf bounds recover the plain soft-threshold.
+    l = jnp.asarray([-0.5, -0.5, -jnp.inf, -jnp.inf] + [-0.5] * 6)
+    u = jnp.asarray([0.5, 0.5, jnp.inf, jnp.inf] + [0.5] * 6)
     lam_rho = jnp.array([1.0, 1.0])
     out = prox.project_cone(v, l, u, lam_rho, cone)
     assert out.shape == (10,)
     np.testing.assert_allclose(out[:2], [-0.5, -0.5])       # box clip
     np.testing.assert_allclose(out[2:4], [-1.0, 0.0])       # soft-threshold
+    # Bounded L1: clip(soft_threshold(v)).
+    out_b = prox.soft_threshold_box(
+        jnp.asarray([-2.0, 3.0]), 1.0, -0.5, 0.5)
+    np.testing.assert_allclose(out_b, [-0.5, 0.5])
     # SOC blocks are valid cone members
     for off in (4, 7):
         blk = np.asarray(out[off:off + 3])
