@@ -8,12 +8,14 @@ two host<->device boundaries: problem upload and Solution fetch
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from .core import admm
+from .core.polish import polish as polish_fn
 from .core.scaling import ruiz_equilibrate, Scaling
 from .problem import QPData, objective
 from .settings import Settings
@@ -85,22 +87,23 @@ def _solve_core(qp: QPData, x0, z0, y0, settings: Settings, backend: str):
             y0.astype(jnp.float64), settings, backend)
         return sol
 
-    # --- hybrid ---
-    eps32 = max(settings.hybrid_eps, settings.eps_abs)
-    s32 = settings.replace(
-        precision="single",
-        eps_abs=eps32,
-        eps_rel=max(settings.hybrid_eps, settings.eps_rel),
-        history=0)
+    # --- hybrid (traceable; used under vmap by solve_batch) ---
+    s32 = _s32_of(settings)
     sol32 = _solve_one_phase(
         qp.astype(jnp.float32), x0.astype(jnp.float32),
         z0.astype(jnp.float32), y0.astype(jnp.float32), s32, backend)
 
     s64 = settings.replace(precision="single", warm_start=True)
     qp64 = qp.astype(jnp.float64)
+
+    def clean(v):
+        """Drop a poisoned f32 phase: NaN warm starts reset to zero."""
+        v = v.astype(jnp.float64)
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
     sol64 = _solve_one_phase(
-        qp64, sol32.x.astype(jnp.float64), sol32.z.astype(jnp.float64),
-        sol32.y.astype(jnp.float64), s64, backend)
+        qp64, clean(sol32.x), clean(sol32.z), clean(sol32.y), s64,
+        backend)
 
     # Preserve an infeasibility verdict from phase 1 (phase 2 would also
     # find it, but phase 1 saw it first — report consistently).
@@ -123,9 +126,60 @@ def _solve_jit(qp, x0, z0, y0, settings, backend):
     return _solve_core(qp, x0, z0, y0, settings, backend)
 
 
+@partial(jax.jit, static_argnames=("settings", "backend"))
+def _phase_jit(qp, x0, z0, y0, settings, backend):
+    return _solve_one_phase(qp, x0, z0, y0, settings, backend)
+
+
+@partial(jax.jit, static_argnames=("eps_abs", "eps_rel", "act_tol"))
+def _polish_jit(qp64, sol, eps_abs, eps_rel, act_tol):
+    return polish_fn(qp64, sol, eps_abs, eps_rel, act_tol=act_tol)
+
+
+def _s32_of(settings: Settings) -> Settings:
+    """f32-phase settings: relaxed eps + condition-number caps (the
+    equality-rho boost times rho over sigma must stay well under
+    1/eps_f32 ~ 8e6 or the f32 factorisation goes NaN — observed on the
+    low-thrust SOCP; sigma does not move the ADMM fixed point)."""
+    return settings.replace(
+        precision="single",
+        eps_abs=max(settings.hybrid_eps, settings.eps_abs),
+        eps_rel=max(settings.hybrid_eps, settings.eps_rel),
+        sigma=max(settings.sigma, 1e-5),
+        rho_eq_scale=min(settings.rho_eq_scale, 1e2),
+        polish=False)
+
+
+def _finish(sol, sol32, settings, out_dtype):
+    """Combine phase results: cast out, add iteration counts, preserve a
+    phase-1 infeasibility verdict."""
+    p1_inf = (sol32.status == int(Status.PRIMAL_INFEASIBLE)) | (
+        sol32.status == int(Status.DUAL_INFEASIBLE))
+    status = jnp.where(p1_inf, sol32.status, sol.status)
+    return Solution(
+        x=sol.x.astype(out_dtype), z=sol.z.astype(out_dtype),
+        y=sol.y.astype(out_dtype), status=status,
+        iters=sol32.iters + sol.iters,
+        r_prim=sol.r_prim.astype(out_dtype),
+        r_dual=sol.r_dual.astype(out_dtype),
+        obj=sol.obj.astype(out_dtype),
+        rho=sol.rho.astype(out_dtype), history=sol.history)
+
+
 def solve(qp: QPData, settings: Settings = Settings(),
           x0=None, z0=None, y0=None) -> Solution:
-    """Solve one QP/SOCP. Optional (x0, z0, y0) warm start (A5), unscaled."""
+    """Solve one QP/SOCP. Optional (x0, z0, y0) warm start (A5), unscaled.
+
+    The default hybrid precision runs as a STAGED pipeline of small
+    compiled programs (f32 phase -> polish -> [f64 phase -> polish]),
+    with one host sync on the polish status deciding whether the f64
+    phase executes at all. Staging keeps each XLA program small (a
+    single fused program with both branches under lax.cond compiled
+    pathologically slowly) while preserving the runtime win: when
+    polishing lands — the typical case — the solve ends after the f32
+    loop plus one f64 KKT solve. Use solve_batch / solve_batch_shared
+    for traceable batched solving.
+    """
     dtype = qp.dtype
     n, m = qp.n, qp.m
     if x0 is None:
@@ -135,7 +189,62 @@ def solve(qp: QPData, settings: Settings = Settings(),
     if y0 is None:
         y0 = jnp.zeros_like(z0)
     backend = resolve_backend(settings)
-    return _solve_jit(qp, x0, z0, y0, settings, backend)
+
+    precision = settings.precision
+    if precision == "hybrid" and not _x64_available():
+        precision = "single"
+    if precision != "hybrid":
+        return _solve_jit(qp, x0, z0, y0, settings, backend)
+
+    from .utils import aot
+
+    def phase(qp_p, x_p, z_p, y_p, s_p):
+        if aot.enabled():
+            return aot.call(
+                "solve_phase",
+                {"settings": dataclasses.asdict(s_p), "backend": backend},
+                (qp_p, x_p, z_p, y_p))
+        return _phase_jit(qp_p, x_p, z_p, y_p, s_p, backend)
+
+    def do_polish(qp_p, sol_p, act_tol):
+        if aot.enabled():
+            return aot.call(
+                "polish",
+                {"eps_abs": settings.eps_abs, "eps_rel": settings.eps_rel,
+                 "act_tol": act_tol},
+                (qp_p, sol_p))
+        return _polish_jit(qp_p, sol_p, settings.eps_abs,
+                           settings.eps_rel, act_tol)
+
+    f32, f64 = jnp.float32, jnp.float64
+    sol32 = phase(
+        qp.astype(f32), x0.astype(f32), z0.astype(f32), y0.astype(f32),
+        _s32_of(settings))
+    qp64 = qp.astype(f64)
+
+    def clean(v):
+        v = v.astype(f64)
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
+    sol32_64 = Solution(
+        x=clean(sol32.x), z=clean(sol32.z), y=clean(sol32.y),
+        status=sol32.status, iters=jnp.int32(0),
+        r_prim=sol32.r_prim.astype(f64), r_dual=sol32.r_dual.astype(f64),
+        obj=sol32.obj.astype(f64), rho=sol32.rho.astype(f64),
+        history=sol32.history.astype(f64))
+
+    if settings.polish:
+        pol = do_polish(qp64, sol32_64, 10.0 * settings.hybrid_eps)
+        if int(pol.status) == int(Status.SOLVED):       # host sync
+            return _finish(pol, sol32, settings, dtype)
+
+    s64 = settings.replace(precision="single", warm_start=True,
+                           polish=False)
+    sol64 = phase(qp64, sol32_64.x, sol32_64.z, sol32_64.y, s64)
+    if settings.polish:
+        sol64 = dataclasses.replace(
+            do_polish(qp64, sol64, 1e-4), iters=sol64.iters)
+    return _finish(sol64, sol32, settings, dtype)
 
 
 def solve_batch(qp_batch: QPData, settings: Settings = Settings(),

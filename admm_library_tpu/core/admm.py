@@ -41,6 +41,7 @@ _UNSOLVED = jnp.int32(int(Status.UNSOLVED))
 _SOLVED = jnp.int32(int(Status.SOLVED))
 _PINF = jnp.int32(int(Status.PRIMAL_INFEASIBLE))
 _DINF = jnp.int32(int(Status.DUAL_INFEASIBLE))
+_NUMERR = jnp.int32(int(Status.NUMERICAL_ERROR))
 
 
 def linf(v):
@@ -301,9 +302,15 @@ def run_admm(qp: QPData, scaling: Scaling, settings: Settings,
 
         pinf, dinf = infeasibility(
             qp, scaling, x - c.x_chk, y - c.y_chk, settings)
+        # NaN tripwire (SURVEY.md §5.2): a failed factorisation or
+        # divergent iterate poisons the residuals — stop immediately
+        # instead of spinning to max_iter.
+        numerr = ~(jnp.isfinite(r_prim) & jnp.isfinite(r_dual))
         status = jnp.where(
-            solved, _SOLVED,
-            jnp.where(pinf, _PINF, jnp.where(dinf, _DINF, _UNSOLVED)))
+            numerr, _NUMERR,
+            jnp.where(solved, _SOLVED,
+                      jnp.where(pinf, _PINF,
+                                jnp.where(dinf, _DINF, _UNSOLVED))))
 
         # Adaptive rho on its own cadence; refactor only when changed (A4).
         rho_bar, fac = c.rho_bar, c.fac

@@ -1,1 +1,1 @@
-from . import banded, kkt, prox
+from . import banded, fused, kkt, prox                        # noqa: F401

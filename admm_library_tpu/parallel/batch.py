@@ -92,6 +92,7 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
     # explicit-inverse factor; interpret mode keeps the identical kernel
     # running (and tested) on CPU.
     cone = qp.cone
+    from ..utils.aot import target_platform
     use_fused = (
         settings.fused != "off"
         and backend == "inv"
@@ -100,7 +101,9 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
         and qp.lam.ndim == 1
         and dtype == jnp.float32
         and (cone.m_soc == 0 or cone.soc_uniform))
-    fused_interpret = jax.default_backend() != "tpu"
+    # Follow the TARGET platform, not the tracing host: AOT export
+    # traces on a CPU worker for a TPU artifact (utils/aot.py).
+    fused_interpret = target_platform() != "tpu"
 
     fac0, _ = factor(rho0)
     big = jnp.full((B,), jnp.inf, dtype)
@@ -144,9 +147,12 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
         solved = (r_prim <= eps_p) & (r_dual <= eps_d)
         pinf, dinf = admm.infeasibility(
             qp, scaling, x - c.x_chk, y - c.y_chk, settings)
+        numerr = ~(jnp.isfinite(r_prim) & jnp.isfinite(r_dual))
         new_status = jnp.where(
-            solved, _SOLVED,
-            jnp.where(pinf, _PINF, jnp.where(dinf, _DINF, _UNSOLVED)))
+            numerr, jnp.int32(int(Status.NUMERICAL_ERROR)),
+            jnp.where(solved, _SOLVED,
+                      jnp.where(pinf, _PINF,
+                                jnp.where(dinf, _DINF, _UNSOLVED))))
         status = jnp.where(active, new_status, c.status)
         r_prim = jnp.where(active, r_prim, c.r_prim)
         r_dual = jnp.where(active, r_dual, c.r_dual)
@@ -223,13 +229,20 @@ def _solve_shared_core(qp, x0, z0, y0, settings: Settings, backend: str):
     s32 = settings.replace(
         precision="single",
         eps_abs=max(settings.hybrid_eps, settings.eps_abs),
-        eps_rel=max(settings.hybrid_eps, settings.eps_rel))
+        eps_rel=max(settings.hybrid_eps, settings.eps_rel),
+        sigma=max(settings.sigma, 1e-5),
+        rho_eq_scale=min(settings.rho_eq_scale, 1e2))
     f32, f64 = jnp.float32, jnp.float64
     sol32 = _phase(qp.astype(f32), x0.astype(f32), z0.astype(f32),
                    y0.astype(f32), s32, backend)
     s64 = settings.replace(precision="single", warm_start=True)
-    sol64 = _phase(qp.astype(f64), sol32.x.astype(f64),
-                   sol32.z.astype(f64), sol32.y.astype(f64), s64, backend)
+
+    def clean(v):
+        v = v.astype(f64)
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
+    sol64 = _phase(qp.astype(f64), clean(sol32.x),
+                   clean(sol32.z), clean(sol32.y), s64, backend)
     p1_inf = (sol32.status == _PINF) | (sol32.status == _DINF)
     status = jnp.where(p1_inf, sol32.status, sol64.status)
     d = qp.dtype
@@ -276,6 +289,13 @@ def solve_batch_shared(qp: QPData, settings: Settings = Settings(),
         sharded = False
     if sharded and settings.fused != "off":
         settings = settings.replace(fused="off")
+    from ..utils import aot
+    if aot.enabled() and not sharded:
+        import dataclasses
+        return aot.call(
+            "batch_shared",
+            {"settings": dataclasses.asdict(settings), "backend": backend},
+            (qp, x0, z0, y0))
     return _solve_shared_jit(qp, x0, z0, y0, settings, backend)
 
 

@@ -341,12 +341,19 @@ def consensus_solve(qp_blk: QPData, spec: ConsensusSpec, mesh: Mesh,
     s32 = settings.replace(
         precision="single",
         eps_abs=max(settings.hybrid_eps, settings.eps_abs),
-        eps_rel=max(settings.hybrid_eps, settings.eps_rel))
+        eps_rel=max(settings.hybrid_eps, settings.eps_rel),
+        sigma=max(settings.sigma, 1e-5),
+        rho_eq_scale=min(settings.rho_eq_scale, 1e2))
     sol32 = one_phase(qp_blk.astype(f32), x0.astype(f32), z0.astype(f32),
                       y0.astype(f32), s32)
+
+    def clean(v):
+        v = v.astype(f64)
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
     sol64 = one_phase(
-        qp_blk.astype(f64), sol32.x.astype(f64), sol32.z.astype(f64),
-        sol32.y.astype(f64), settings.replace(precision="single"))
+        qp_blk.astype(f64), clean(sol32.x), clean(sol32.z),
+        clean(sol32.y), settings.replace(precision="single"))
     return ConsensusSolution(
         x=sol64.x.astype(dtype), z=sol64.z.astype(dtype),
         y=sol64.y.astype(dtype), status=sol64.status,

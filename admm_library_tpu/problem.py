@@ -119,6 +119,28 @@ class QPData:
             cone=self.cone)
 
 
+# AOT-export support: QPData crosses jax.export boundaries (the AOT
+# compile cache serializes lowered solver programs; tracing over the
+# remote-TPU tunnel costs minutes, so we trace once and reload).
+def _cone_ser(cone: ConeSpec) -> bytes:
+    import json
+    return json.dumps([cone.m_box, cone.m_l1, list(cone.soc_dims)]).encode()
+
+
+def _cone_deser(b: bytes) -> ConeSpec:
+    import json
+    mb, ml, soc = json.loads(b.decode())
+    return ConeSpec(m_box=mb, m_l1=ml, soc_dims=tuple(soc))
+
+
+try:
+    jax.export.register_pytree_node_serialization(
+        QPData, serialized_name="admm_library_tpu.QPData",
+        serialize_auxdata=_cone_ser, deserialize_auxdata=_cone_deser)
+except (AttributeError, ValueError):
+    pass          # older jax or double registration
+
+
 def make_qp(P, q, A, l, u, cone: ConeSpec | None = None, lam=None) -> QPData:
     """Build a QPData, defaulting to an all-box cone layout.
 

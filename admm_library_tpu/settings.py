@@ -72,7 +72,10 @@ class Settings:
 
     # --- misc ---
     warm_start: bool = True
-    polish: bool = False
+    # A7 solution polishing (hybrid path): after the f32 phase, detect
+    # the active set and solve the reduced KKT system in f64; when it
+    # lands (typical), the entire f64 iteration phase is skipped.
+    polish: bool = True
     polish_refine_steps: int = 3
     history: int = 0            # residual ring-buffer slots (0 disables)
 

@@ -16,6 +16,7 @@ class Status(enum.IntEnum):
     MAX_ITER = 2
     PRIMAL_INFEASIBLE = 3
     DUAL_INFEASIBLE = 4
+    NUMERICAL_ERROR = 5
 
 
 def _sol_flatten(s):
@@ -59,3 +60,14 @@ class Solution:
     def status_name(self) -> str:
         s = int(self.status) if jnp.ndim(self.status) == 0 else None
         return Status(s).name if s is not None else "<batched>"
+
+
+# AOT-export support (see problem.py): Solution is the out_tree of the
+# serialized solver programs.
+try:
+    jax.export.register_pytree_node_serialization(
+        Solution, serialized_name="admm_library_tpu.Solution",
+        serialize_auxdata=lambda aux: b"", deserialize_auxdata=lambda b: None)
+except (AttributeError, ValueError):
+    pass
+

@@ -1,1 +1,1 @@
-from . import oracle
+from . import checkpoint, oracle, profiling                   # noqa: F401

@@ -4,6 +4,13 @@ Must run before jax initialises its backend, hence top of conftest.
 """
 import os
 
+# Persist compiled executables across test runs (first-compile of the
+# full solver is the dominant suite cost).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"))
+
 # Force CPU even when the shell pre-sets a TPU platform: the suite
 # validates numerics in f64 and exercises an 8-device virtual mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
