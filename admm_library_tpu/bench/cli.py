@@ -111,12 +111,21 @@ def bench_low_thrust(seed: int = 0):
 
 def bench_monte_carlo(seed: int = 0, batch: int = 1024):
     """Config 5 — THE BASELINE metric: 1024 dispersed horizon-50
-    rendezvous QPs, shared-matrix batch, lockstep iters/s per chip."""
+    rendezvous QPs, shared-matrix batch, lockstep iters/s per chip.
+
+    ADMM_TPU_FUSED=off selects the plain XLA iteration body instead of
+    the fused Pallas kernel."""
     qp, spec, _ = mc.monte_carlo_mpc(
         jax.random.PRNGKey(seed), batch=batch, N=50, dim=3)
-    s = Settings(eps_abs=EPS, eps_rel=EPS)
+    s = Settings(eps_abs=EPS, eps_rel=EPS,
+                 fused=os.environ.get("ADMM_TPU_FUSED", "auto"))
     sol, dt = _timed(lambda: solve_batch_shared(qp, s))
     return _report("monte_carlo_1024", sol, dt, batch=batch)
+
+
+def run_config(name: str, seed: int = 0):
+    """Run one named benchmark config; returns its report dict."""
+    return CONFIGS[name](seed)
 
 
 CONFIGS = {

@@ -105,6 +105,33 @@ def partition_mpc(s0, s_target, N: int, n_blocks: int, dim: int = 3,
     return qp, spec, spec_mpc
 
 
+def partition_mpc_mc(key, batch: int, s0_nominal, s_target, N: int,
+                     n_blocks: int, dim: int = 3, sigma_pos: float = 0.1,
+                     sigma_vel: float = 0.01, dtype=jnp.float32, **kw):
+    """Scenario-batched partitioned MPC for consensus_solve_mc (M6 x P2).
+
+    Returns (QPData with l/u of shape (batch, n_blocks, mb) and shared
+    per-block P/A/q, ConsensusSpec, MPCSpec, s0 batch). Only block 0's
+    left-edge rows depend on the dispersed initial state.
+    """
+    from .monte_carlo import disperse_s0
+
+    qp, spec, mpc = partition_mpc(
+        s0_nominal, s_target, N=N, n_blocks=n_blocks, dim=dim,
+        dtype=dtype, **kw)
+    s0s = disperse_s0(key, jnp.asarray(s0_nominal, dtype),
+                      sigma_pos, sigma_vel, batch, dtype)
+    B = batch
+    l = jnp.broadcast_to(qp.l, (B,) + qp.l.shape)
+    u = jnp.broadcast_to(qp.u, (B,) + qp.u.shape)
+    ml = spec.m_local
+    l = l.at[:, 0, ml:ml + spec.ns].set(s0s)
+    u = u.at[:, 0, ml:ml + spec.ns].set(s0s)
+    qp_mc = QPData(P=qp.P, q=qp.q, A=qp.A, l=l, u=u, lam=qp.lam,
+                   cone=qp.cone)
+    return qp_mc, spec, mpc, s0s
+
+
 def assemble_trajectory(spec: ConsensusSpec, mpc: MPCSpec, x_blocks):
     """Stitch per-block solutions into global (controls (N, nu),
     states (N+1, ns)) using each block's owned variables."""

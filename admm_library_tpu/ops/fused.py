@@ -8,11 +8,15 @@ kernel launch with every operand resident in VMEM:
 
 Per iteration: 3 MXU matmuls (rhs assembly, Minv apply, A apply) plus 2
 per iterative-refinement step, with the prox and dual updates on the
-VPU. For the flagship config (B=128 lanes/chip, n=450, m=456, f32) the
-working set is ~3.3 MB — far under the ~16 MB VMEM budget — so a whole
-`check_every` block runs without touching HBM: this is what "fused
-on-device kernels inside a jit'd lax.while_loop" [BASELINE.json
-north_star] means at the hardware level.
+VPU. A lane tile of 128 with the flagship shapes (n=450, m=456, f32)
+uses ~4 MB of VMEM — the whole `check_every` block runs without
+touching HBM, which is what "fused on-device kernels inside a jit'd
+lax.while_loop" [BASELINE.json north_star] means at the hardware level.
+Larger batches are chunked over lane tiles with a Python-unrolled loop
+(the chunks would serialise on the MXU anyway); the kernel itself is
+single-program (no pallas grid) because this remote Mosaic build
+rejects the grid/index-map lowering AND the implicit grid that
+lax.map/scan batching would add ('func.return' legalization failure).
 
 L1 rows use the composite clip(soft-threshold) prox. SOC blocks are
 projected WITHOUT reshapes via selector matmuls: with S the (m_soc,
@@ -110,18 +114,35 @@ def _iter_math(A, At, Minv, M, q, rho, lam_r, l, u, x, z, y, *, cone,
     return jax.lax.fori_loop(0, k, one, (x, z, y))
 
 
-def _kernel(A_ref, At_ref, Minv_ref, M_ref, q_ref, rho_ref, lam_ref,
-            S_ref, H_ref, l_ref, u_ref, x_ref, z_ref, y_ref,
-            xo_ref, zo_ref, yo_ref, *, cone, sigma, alpha, k,
-            refine_steps):
-    x, z, y = _iter_math(
-        A_ref[:], At_ref[:], Minv_ref[:], M_ref[:], q_ref[:], rho_ref[:],
-        lam_ref[:], l_ref[:], u_ref[:], x_ref[:], z_ref[:], y_ref[:],
-        cone=cone, S=S_ref[:], H=H_ref[:], sigma=sigma, alpha=alpha,
-        k=k, refine_steps=refine_steps)
-    xo_ref[:] = x
-    zo_ref[:] = z
-    yo_ref[:] = y
+def _make_kernel(cone, sigma, alpha, k, refine_steps, has_l1, has_soc):
+    """Kernel with exact arity for the cone layout (no dummy operands)."""
+
+    def kernel(*refs):
+        it = iter(refs)
+        A = next(it)[:]
+        At = next(it)[:]
+        Minv = next(it)[:]
+        M = next(it)[:]
+        q = next(it)[:]
+        rho = next(it)[:]
+        lam_r = next(it)[:] if has_l1 else None
+        S = next(it)[:] if has_soc else None
+        H = next(it)[:] if has_soc else None
+        l = next(it)[:]
+        u = next(it)[:]
+        x = next(it)[:]
+        z = next(it)[:]
+        y = next(it)[:]
+        xo, zo, yo = next(it), next(it), next(it)
+        xn, zn, yn = _iter_math(
+            A, At, Minv, M, q, rho, lam_r, l, u, x, z, y, cone=cone,
+            S=S, H=H, sigma=sigma, alpha=alpha, k=k,
+            refine_steps=refine_steps)
+        xo[:] = xn
+        zo[:] = zn
+        yo[:] = yn
+
+    return kernel
 
 
 @functools.partial(
@@ -131,12 +152,12 @@ def _kernel(A_ref, At_ref, Minv_ref, M_ref, q_ref, rho_ref, lam_ref,
 def fused_iterate_shared(A, Minv, M, q, rho_vec, lam, l, u, x, z, y,
                          cone: ConeSpec, sigma: float, alpha: float,
                          k: int, refine_steps: int = 1,
-                         interpret: bool = False, lane_tile: int = 128):
+                         interpret: bool = False, lane_tile: int = 256):
     """Run k fused ADMM iterations on the shared-matrix batch.
 
     Shared operands are unbatched; x/z/y and l/u carry the (B,) lane
-    axis. B is tiled by `lane_tile` over the pallas grid; shared
-    operands are re-presented to every tile and stay VMEM-resident.
+    axis. B is processed in `lane_tile` chunks via lax.map; each chunk
+    is one single-program pallas launch with everything in VMEM.
     Returns (x, z, y).
     """
     dt = x.dtype
@@ -145,52 +166,57 @@ def fused_iterate_shared(A, Minv, M, q, rho_vec, lam, l, u, x, z, y,
     ml = cone.m_l1
     if cone.m_soc and not cone.soc_uniform:
         raise ValueError("fused kernel requires uniform SOC block dims")
-    S, H = (soc_selectors(cone, dt) if cone.m_soc else
-            (jnp.zeros((1, 1), dt), jnp.zeros((1, 1), dt)))
+    has_l1 = ml > 0
+    has_soc = cone.m_soc > 0
+
     q2 = q.reshape(1, n)
     rho2 = rho_vec.reshape(1, m)
-    if ml:
-        lam_r = (lam / rho_vec[cone.m_box:cone.m_box + ml]).reshape(1, ml)
-    else:
-        lam_r = jnp.zeros((1, 1), dt)
     if l.ndim == 1:
         l = jnp.broadcast_to(l, (B, m))
         u = jnp.broadcast_to(u, (B, m))
 
+    shared = [A, A.T, Minv, M, q2, rho2]
+    if has_l1:
+        lam_r = (lam / rho_vec[cone.m_box:cone.m_box + ml]).reshape(1, ml)
+        shared.append(lam_r)
+    if has_soc:
+        S, H = soc_selectors(cone, dt)
+        shared += [S, H]
+
+    kern = _make_kernel(cone, float(sigma), float(alpha), int(k),
+                        int(refine_steps), has_l1, has_soc)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def run_tile(tile_args):
+        lt, ut, xt, zt, yt = tile_args
+        nb = xt.shape[0]
+        return pl.pallas_call(
+            kern,
+            in_specs=[vspec] * (len(shared) + 5),
+            out_specs=(vspec, vspec, vspec),
+            out_shape=(
+                jax.ShapeDtypeStruct((nb, n), dt),
+                jax.ShapeDtypeStruct((nb, m), dt),
+                jax.ShapeDtypeStruct((nb, m), dt),
+            ),
+            interpret=interpret,
+        )(*shared, lt, ut, xt, zt, yt)
+
     tile = min(lane_tile, B)
     if B % tile != 0:
         tile = B
-    grid = (B // tile,)
-
-    def bspec(cols):
-        return pl.BlockSpec((tile, cols), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-
-    def sspec(rows, cols):
-        return pl.BlockSpec((rows, cols), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-
-    kern = functools.partial(
-        _kernel, cone=cone, sigma=float(sigma), alpha=float(alpha),
-        k=int(k), refine_steps=int(refine_steps))
-    xo, zo, yo = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            sspec(m, n), sspec(n, m),            # A, At
-            sspec(n, n), sspec(n, n),            # Minv, M
-            sspec(1, n), sspec(1, m),            # q, rho
-            sspec(*lam_r.shape),                 # lam/rho
-            sspec(*S.shape), sspec(*H.shape),    # SOC selectors
-            bspec(m), bspec(m),                  # l, u
-            bspec(n), bspec(m), bspec(m),        # x, z, y
-        ],
-        out_specs=(bspec(n), bspec(m), bspec(m)),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, n), dt),
-            jax.ShapeDtypeStruct((B, m), dt),
-            jax.ShapeDtypeStruct((B, m), dt),
-        ),
-        interpret=interpret,
-    )(A, A.T, Minv, M, q2, rho2, lam_r, S, H, l, u, x, z, y)
+    if tile == B:
+        return run_tile((l, u, x, z, y))
+    # Python-unrolled chunk loop: wrapping pallas_call in lax.map/scan
+    # re-introduces an implicit grid whose index maps this remote Mosaic
+    # build rejects ('func.return' legalization); the unrolled calls all
+    # share one compiled kernel and serialise on the MXU regardless.
+    nchunk = B // tile
+    outs = []
+    for i in range(nchunk):
+        sl = slice(i * tile, (i + 1) * tile)
+        outs.append(run_tile((l[sl], u[sl], x[sl], z[sl], y[sl])))
+    xo = jnp.concatenate([o[0] for o in outs], axis=0)
+    zo = jnp.concatenate([o[1] for o in outs], axis=0)
+    yo = jnp.concatenate([o[2] for o in outs], axis=0)
     return xo, zo, yo

@@ -84,9 +84,24 @@ def _chol_solve(L, rhs):
         y = solve_triangular(L, flat, lower=True)
         x = solve_triangular(L, y, lower=True, trans=1)
         return x.T.reshape(rhs.shape)
-    y = solve_triangular(L, rhs[..., None], lower=True)
+    if rhs.ndim == L.ndim - 1:
+        y = solve_triangular(L, rhs[..., None], lower=True)
+        x = solve_triangular(L, y, lower=True, trans=1)
+        return x[..., 0]
+    # Extra leading batch dims on rhs against per-block factors (the
+    # scenario-batched consensus case: L (S, n, n), rhs (B..., S, n)).
+    # Fold the scenario dims into rhs COLUMNS so each block does one
+    # multi-rhs triangular solve — triangular_solve does not rank-
+    # broadcast, and this is the MXU-friendly layout anyway.
+    lead = rhs.shape[:-2]
+    S = L.shape[0]
+    K = 1
+    for d in lead:
+        K *= d
+    r = jnp.moveaxis(rhs.reshape((K, S, n)), 0, -1)  # (S, n, K)
+    y = solve_triangular(L, r, lower=True)
     x = solve_triangular(L, y, lower=True, trans=1)
-    return x[..., 0]
+    return jnp.moveaxis(x, -1, 0).reshape(rhs.shape)
 
 
 def _matvec_M(fac, v):

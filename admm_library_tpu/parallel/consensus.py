@@ -98,26 +98,35 @@ class ConsensusCarry(NamedTuple):
 def _neighbor_prev(v_edge, axis: str):
     """Value of `v_edge` from the PREVIOUS block (device-cyclic).
 
-    v_edge: (S, ns) per device, blocks contiguous. Returns (S, ns) where
-    row s holds block s-1's value; row 0 receives the previous device's
-    last block via ppermute. Cyclic wrap is harmless: block 0 masks it.
+    v_edge: (..., S, ns) per device, blocks contiguous on axis -2.
+    Returns the same shape where slot s holds block s-1's value; slot 0
+    receives the previous device's last block via ppermute. Cyclic wrap
+    is harmless: block 0 masks it.
     """
     ndev = jax.lax.axis_size(axis)
     perm = [(i, (i + 1) % ndev) for i in range(ndev)]
-    from_prev_dev = jax.lax.ppermute(v_edge[-1:], axis, perm)   # (1, ns)
-    return jnp.concatenate([from_prev_dev, v_edge[:-1]], axis=0)
+    from_prev_dev = jax.lax.ppermute(v_edge[..., -1:, :], axis, perm)
+    return jnp.concatenate(
+        [from_prev_dev, v_edge[..., :-1, :]], axis=-2)
 
 
 def _neighbor_next(v_edge, axis: str):
     """Value of `v_edge` from the NEXT block (device-cyclic)."""
     ndev = jax.lax.axis_size(axis)
     perm = [(i, (i - 1) % ndev) for i in range(ndev)]
-    from_next_dev = jax.lax.ppermute(v_edge[:1], axis, perm)    # (1, ns)
-    return jnp.concatenate([v_edge[1:], from_next_dev], axis=0)
+    from_next_dev = jax.lax.ppermute(v_edge[..., :1, :], axis, perm)
+    return jnp.concatenate(
+        [v_edge[..., 1:, :], from_next_dev], axis=-2)
 
 
 def _linf_global(v, axis: str):
     return jax.lax.pmax(jnp.max(jnp.abs(v)), axis)
+
+
+def _linf_scen(v, axis: str):
+    """Per-scenario inf-norm: max over the trailing (blocks, rows) axes
+    locally, then pmax over the horizon mesh axis."""
+    return jax.lax.pmax(jnp.max(jnp.abs(v), axis=(-2, -1)), axis)
 
 
 def consensus_body(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
@@ -125,7 +134,10 @@ def consensus_body(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
     """One consensus-ADMM iteration on this device's S blocks.
 
     block_ids: (S,) global indices of the local blocks (for end masks).
-    All arrays carry the local leading S axis.
+    Iterates carry a local (S, .) layout, optionally with an extra
+    leading scenario axis (B, S, .) — all ops broadcast over it; the
+    per-block data (P, A, q, factor, rho_vec) stay shared across
+    scenarios (the Monte-Carlo shape: dispersions enter only l/u).
     """
     ml, ns = spec.m_local, spec.ns
     a = settings.alpha
@@ -133,25 +145,25 @@ def consensus_body(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
     is_last = (block_ids == spec.n_blocks - 1)[:, None]
 
     rhs = (settings.sigma * x - qp_blk.q
-           + jnp.einsum("sji,sj->si", qp_blk.A, rho_vec * z - y))
+           + jnp.einsum("...ji,...j->...i", qp_blk.A, rho_vec * z - y))
     xt = kkt.solve_condensed(
         fac, rhs, backend, refine_steps=settings.refine_steps,
         cg_tol=settings.cg_tol, cg_max_iter=settings.cg_max_iter)
-    zt = jnp.einsum("sij,sj->si", qp_blk.A, xt)
+    zt = jnp.einsum("...ij,...j->...i", qp_blk.A, xt)
     x_new = a * xt + (1.0 - a) * x
     w = a * zt + (1.0 - a) * z
     v = w + y / rho_vec
 
     # --- z-update ---
-    v_loc = v[:, :ml]
-    v_left = v[:, ml:ml + ns]
-    v_right = v[:, ml + ns:]
+    v_loc = v[..., :ml]
+    v_left = v[..., ml:ml + ns]
+    v_right = v[..., ml + ns:]
     cone = spec.cone
     mb_box = cone.m_box
-    lam_over_rho = (qp_blk.lam / rho_vec[:, mb_box:mb_box + cone.m_l1]
+    lam_over_rho = (qp_blk.lam / rho_vec[..., mb_box:mb_box + cone.m_l1]
                     if cone.m_l1 else qp_blk.lam)
     z_loc = project_cone(
-        v_loc, qp_blk.l[:, :ml], qp_blk.u[:, :ml], lam_over_rho, cone)
+        v_loc, qp_blk.l[..., :ml], qp_blk.u[..., :ml], lam_over_rho, cone)
 
     # Consensus averaging with neighbors; global ends clamp to the
     # equality bounds stored in l(==u) of the edge rows.
@@ -159,8 +171,8 @@ def consensus_body(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
     left_next = _neighbor_next(v_left, axis)        # block s+1's left edge
     avg_left = 0.5 * (v_left + right_prev)
     avg_right = 0.5 * (v_right + left_next)
-    l_left = qp_blk.l[:, ml:ml + ns]
-    l_right = qp_blk.l[:, ml + ns:]
+    l_left = qp_blk.l[..., ml:ml + ns]
+    l_right = qp_blk.l[..., ml + ns:]
     z_left = jnp.where(is_first, l_left, avg_left)
     z_right = jnp.where(is_last, l_right, avg_right)
 
