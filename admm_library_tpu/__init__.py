@@ -23,7 +23,7 @@ from .problem import ConeSpec, QPData, make_qp, objective
 from .settings import Settings
 from .solution import Solution, Status
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "solve", "solve_batch", "resolve_backend",

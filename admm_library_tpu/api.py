@@ -14,6 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from . import xprec
 from .core import admm
 from .core.polish import polish as polish_fn
 from .core.scaling import ruiz_equilibrate, Scaling
@@ -37,6 +38,14 @@ def resolve_backend(settings: Settings, qp_n: int | None = None) -> str:
 
 def _solve_one_phase(qp: QPData, x0, z0, y0, settings: Settings,
                      backend: str):
+    # Exact-f32 dots for everything traced below (triangular solves,
+    # residuals): TPU default matmul precision diverges — see xprec.
+    with xprec.highest():
+        return _solve_one_phase_inner(qp, x0, z0, y0, settings, backend)
+
+
+def _solve_one_phase_inner(qp: QPData, x0, z0, y0, settings: Settings,
+                           backend: str):
     qps, scaling = ruiz_equilibrate(qp, settings.scaling_iters)
     if settings.warm_start:
         xs = scaling.scale_x(x0)

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import kkt
+from .. import xprec
 from ..ops.prox import project_cone
 from ..problem import QPData, is_equality_row
 from ..settings import Settings
@@ -85,11 +86,11 @@ def admm_iteration(qp: QPData, fac, x, z, y, rho_vec, settings: Settings,
                    backend: str):
     """One ADMM iteration on the scaled problem (A1). Batch-dim agnostic."""
     rhs = (settings.sigma * x - qp.q
-           + jnp.einsum("...ji,...j->...i", qp.A, rho_vec * z - y))
+           + xprec.einsum("...ji,...j->...i", qp.A, rho_vec * z - y))
     xt = kkt.solve_condensed(
         fac, rhs, backend, refine_steps=settings.refine_steps,
         cg_tol=settings.cg_tol, cg_max_iter=settings.cg_max_iter)
-    zt = jnp.einsum("...ij,...j->...i", qp.A, xt)
+    zt = xprec.einsum("...ij,...j->...i", qp.A, xt)
     a = settings.alpha
     x_new = a * xt + (1.0 - a) * x
     w = a * zt + (1.0 - a) * z
@@ -118,9 +119,9 @@ def residuals(qp: QPData, scaling: Scaling, x, z, y):
     """
     einv = 1.0 / scaling.e
     cd_inv = 1.0 / (scaling.c * scaling.d)
-    Ax = jnp.einsum("...ij,...j->...i", qp.A, x)
-    Px = jnp.einsum("...ij,...j->...i", qp.P, x)
-    Aty = jnp.einsum("...ji,...j->...i", qp.A, y)
+    Ax = xprec.einsum("...ij,...j->...i", qp.A, x)
+    Px = xprec.einsum("...ij,...j->...i", qp.P, x)
+    Aty = xprec.einsum("...ji,...j->...i", qp.A, y)
     r_prim = linf(einv * (Ax - z))
     r_dual = linf(cd_inv * (Px + qp.q + Aty))
     return (r_prim, r_dual,
@@ -168,7 +169,7 @@ def infeasibility(qp: QPData, scaling: Scaling, dx_s, dy_s, settings):
     dyn = dy / jnp.maximum(ndy, jnp.finfo(dtype).tiny)[..., None]
     # Aᵀ dy (unscaled) = (1/(c d)) Āᵀ dȳ-normalised; recompute from dyn via
     # scaled Ā: Aᵀ dyn = D⁻¹ Āᵀ (E⁻¹ dyn·c)/c ... simplest: use unscaled op.
-    Aty = jnp.einsum(
+    Aty = xprec.einsum(
         "...ji,...j->...i", qp.A, scaling.scale_y(dyn)) / (
             scaling.c * scaling.d)
     cond_A = linf(Aty) <= eps_p
@@ -205,11 +206,11 @@ def infeasibility(qp: QPData, scaling: Scaling, dx_s, dy_s, settings):
     dx = scaling.unscale_x(dx_s)
     ndx = linf(dx)
     dxn = dx / jnp.maximum(ndx, jnp.finfo(dtype).tiny)[..., None]
-    Pdx = jnp.einsum("...ij,...j->...i", qp.P, dxn / scaling.d) / (
+    Pdx = xprec.einsum("...ij,...j->...i", qp.P, dxn / scaling.d) / (
         scaling.c * scaling.d)
-    Adx = jnp.einsum("...ij,...j->...i", qp.A, dxn / scaling.d) / scaling.e
+    Adx = xprec.einsum("...ij,...j->...i", qp.A, dxn / scaling.d) / scaling.e
     cond_P = linf(Pdx) <= eps_d
-    qdx = jnp.einsum("...i,...i->...", qp.q / (scaling.c * scaling.d), dxn)
+    qdx = xprec.einsum("...i,...i->...", qp.q / (scaling.c * scaling.d), dxn)
     if ml:
         lam_unscaled = qp.lam * scaling.e[..., mb:mb + ml] / scaling.c
         qdx = qdx + jnp.sum(

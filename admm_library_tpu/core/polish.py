@@ -30,13 +30,14 @@ import jax
 import jax.numpy as jnp
 
 from ..problem import QPData
+from .. import xprec
 from ..solution import Solution, Status
 
 
 def _residuals_unscaled(qp: QPData, x, z, y):
-    Ax = jnp.einsum("...ij,...j->...i", qp.A, x)
-    Px = jnp.einsum("...ij,...j->...i", qp.P, x)
-    Aty = jnp.einsum("...ji,...j->...i", qp.A, y)
+    Ax = xprec.einsum("...ij,...j->...i", qp.A, x)
+    Px = xprec.einsum("...ij,...j->...i", qp.P, x)
+    Aty = xprec.einsum("...ji,...j->...i", qp.A, y)
     r_p = jnp.max(jnp.abs(Ax - z), axis=-1)
     r_d = jnp.max(jnp.abs(Px + qp.q + Aty), axis=-1)
     return r_p, r_d
@@ -49,6 +50,12 @@ def polish(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
     act_tol: relative distance for active-set detection;
     delta: penalty weight (constraint defect ~ delta * |y|).
     """
+    with xprec.highest():
+        return _polish_inner(qp, sol, eps_abs, eps_rel, act_tol, delta)
+
+
+def _polish_inner(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
+                  act_tol: float, delta: float) -> Solution:
     cone = qp.cone
     mb, ml = cone.m_box, cone.m_l1
     dtype = qp.dtype
@@ -76,7 +83,7 @@ def polish(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
         b = b.at[..., sl].set(jnp.where(at_kink, 0.0, b[..., sl]))
         sg = jnp.where(at_kink, 0.0, qp.lam * jnp.sign(z_l1))
         lam_sign = lam_sign.at[..., sl].set(sg)
-        q_eff = q_eff + jnp.einsum(
+        q_eff = q_eff + xprec.einsum(
             "...ji,...j->...i", qp.A,
             lam_sign)
     if cone.m_soc:
@@ -89,8 +96,8 @@ def polish(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
 
     w = jnp.where(act, 1.0 / delta, 0.0)
     M = (qp.P + delta * jnp.eye(qp.n, dtype=dtype)
-         + jnp.einsum("...ji,...j,...jk->...ik", qp.A, w, qp.A))
-    rhs = -q_eff + jnp.einsum("...ji,...j->...i", qp.A, w * b)
+         + xprec.einsum("...ji,...j,...jk->...ik", qp.A, w, qp.A))
+    rhs = -q_eff + xprec.einsum("...ji,...j->...i", qp.A, w * b)
     L = jnp.linalg.cholesky(M)
 
     def solve_M(r):
@@ -100,10 +107,10 @@ def polish(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
 
     x = solve_M(rhs)
     for _ in range(3):                      # iterative refinement, f64
-        r = rhs - jnp.einsum("...ij,...j->...i", M, x)
+        r = rhs - xprec.einsum("...ij,...j->...i", M, x)
         x = x + solve_M(r)
 
-    Ax = jnp.einsum("...ij,...j->...i", qp.A, x)
+    Ax = xprec.einsum("...ij,...j->...i", qp.A, x)
     y_act = w * (Ax - b)
     y = jnp.where(act, y_act, 0.0) + lam_sign
     if cone.m_soc:
@@ -115,9 +122,9 @@ def polish(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
                                         Ax[..., sl]))
 
     def _crit(xc, zc, yc):
-        Axc = jnp.einsum("...ij,...j->...i", qp.A, xc)
-        Pxc = jnp.einsum("...ij,...j->...i", qp.P, xc)
-        Atyc = jnp.einsum("...ji,...j->...i", qp.A, yc)
+        Axc = xprec.einsum("...ij,...j->...i", qp.A, xc)
+        Pxc = xprec.einsum("...ij,...j->...i", qp.P, xc)
+        Atyc = xprec.einsum("...ji,...j->...i", qp.A, yc)
         r_p = jnp.max(jnp.abs(Axc - zc), axis=-1)
         r_d = jnp.max(jnp.abs(Pxc + qp.q + Atyc), axis=-1)
         eps_p = eps_abs + eps_rel * jnp.maximum(

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+from .. import xprec
+
 
 def dense_to_block_tridiag(M, b: int):
     """Extract (diag, lower) blocks from a dense block-tridiagonal matrix.
@@ -52,7 +54,7 @@ def block_tridiag_cholesky(diag, low):
         B, D = blocks
         # C = B L_prevᵀ⁻¹  ->  Cᵀ = L_prev⁻¹ Bᵀ
         C = solve_triangular(L_prev, B.T, lower=True).T
-        S = D - C @ C.T
+        S = D - xprec.matmul(C, C.T)
         L = jnp.linalg.cholesky(S)
         return L, (C, L)
 
@@ -80,7 +82,7 @@ def block_tridiag_solve(Ld, Ll, rhs):
 
     def fwd(y_prev, inp):
         L, C, ri = inp
-        t = ri - y_prev @ C.T
+        t = ri - xprec.matmul(y_prev, C.T)
         y = solve_triangular(L, t.T, lower=True).T
         return y, y
 
@@ -92,7 +94,7 @@ def block_tridiag_solve(Ld, Ll, rhs):
 
     def bwd(x_next, inp):
         L, C, yi = inp
-        t = yi - x_next @ C
+        t = yi - xprec.matmul(x_next, C)
         x = solve_triangular(L, t.T, lower=True, trans=1).T
         return x, x
 

@@ -31,12 +31,13 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from . import banded as banded_ops
+from .. import xprec
 
 
 def condensed_matrix(P, A, sigma, rho_vec):
     """M = P + sigma I + Aᵀ diag(rho) A (supports leading batch dims)."""
     n = P.shape[-1]
-    AtRA = jnp.einsum("...ji,...j,...jk->...ik", A, rho_vec, A)
+    AtRA = xprec.einsum("...ji,...j,...jk->...ik", A, rho_vec, A)
     eye = jnp.eye(n, dtype=P.dtype)
     return P + sigma * eye + AtRA
 
@@ -45,7 +46,16 @@ def factor_condensed(P, A, sigma, rho_vec, backend: str, band_block: int = 0):
     """Build the cached factor for the requested backend.
 
     Returns a dict pytree. 'M' is kept for refinement and CG matvecs.
+
+    Traced under exact-f32 dot precision: the TPU default (truncated
+    bf16 passes) yields ||I - Minv M|| > 1 on the flagship problems and
+    the solver diverges (see xprec module docstring).
     """
+    with xprec.highest():
+        return _factor_condensed(P, A, sigma, rho_vec, backend, band_block)
+
+
+def _factor_condensed(P, A, sigma, rho_vec, backend: str, band_block: int):
     if backend == "cg":
         # Matrix-free: keep the operator pieces only.
         return {"P": P, "A": A, "rho": rho_vec,
@@ -58,7 +68,7 @@ def factor_condensed(P, A, sigma, rho_vec, backend: str, band_block: int = 0):
         L = jnp.linalg.cholesky(M)
         eye = jnp.eye(M.shape[-1], dtype=M.dtype)
         Linv = solve_triangular(L, eye, lower=True)
-        Minv = jnp.einsum("...ji,...jk->...ik", Linv, Linv)
+        Minv = xprec.einsum("...ji,...jk->...ik", Linv, Linv)
         return {"M": M, "Minv": Minv}
     if backend == "banded":
         if band_block <= 0:
@@ -107,10 +117,10 @@ def _chol_solve(L, rhs):
 def _matvec_M(fac, v):
     """M @ v for rhs-batched v against an unbatched factor."""
     if "M" in fac:
-        return jnp.einsum("...ij,...j->...i", fac["M"], v)
-    Av = jnp.einsum("...ij,...j->...i", fac["A"], v)
-    AtRAv = jnp.einsum("...ji,...j->...i", fac["A"], fac["rho"] * Av)
-    Pv = jnp.einsum("...ij,...j->...i", fac["P"], v)
+        return xprec.einsum("...ij,...j->...i", fac["M"], v)
+    Av = xprec.einsum("...ij,...j->...i", fac["A"], v)
+    AtRAv = xprec.einsum("...ji,...j->...i", fac["A"], fac["rho"] * Av)
+    Pv = xprec.einsum("...ij,...j->...i", fac["P"], v)
     return Pv + fac["sigma"] * v + AtRAv
 
 
@@ -160,7 +170,7 @@ def solve_condensed(fac, rhs, backend: str, refine_steps: int = 0,
     if backend == "chol":
         x = _chol_solve(fac["L"], rhs)
     elif backend == "inv":
-        x = jnp.einsum("...ij,...j->...i", fac["Minv"], rhs)
+        x = xprec.einsum("...ij,...j->...i", fac["Minv"], rhs)
     elif backend == "banded":
         x = banded_ops.block_tridiag_solve(fac["Ld"], fac["Ll"], rhs)
     elif backend == "cg":
@@ -172,7 +182,7 @@ def solve_condensed(fac, rhs, backend: str, refine_steps: int = 0,
         if backend == "chol":
             x = x + _chol_solve(fac["L"], r)
         elif backend == "inv":
-            x = x + jnp.einsum("...ij,...j->...i", fac["Minv"], r)
+            x = x + xprec.einsum("...ij,...j->...i", fac["Minv"], r)
         else:
             x = x + banded_ops.block_tridiag_solve(fac["Ld"], fac["Ll"], r)
     return x

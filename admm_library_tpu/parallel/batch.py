@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .. import xprec
 from ..core import admm
 from ..core.scaling import ruiz_equilibrate
 from ..ops import fused as fused_ops
@@ -196,6 +197,12 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
 
 
 def _phase(qp, x0, z0, y0, settings, backend):
+    # Exact-f32 dots throughout (TPU default precision diverges; xprec).
+    with xprec.highest():
+        return _phase_inner(qp, x0, z0, y0, settings, backend)
+
+
+def _phase_inner(qp, x0, z0, y0, settings, backend):
     qps, scaling = ruiz_equilibrate(qp, settings.scaling_iters)
     if settings.warm_start:
         xs = scaling.scale_x(x0)
@@ -216,6 +223,105 @@ def _phase(qp, x0, z0, y0, settings, backend):
         obj=objective(qp, x, z), rho=carry.rho_bar, history=hist)
 
 
+def _s32_of_shared(settings: Settings) -> Settings:
+    """f32-phase settings (relaxed eps + f32 condition-number caps)."""
+    return settings.replace(
+        precision="single",
+        eps_abs=max(settings.hybrid_eps, settings.eps_abs),
+        eps_rel=max(settings.hybrid_eps, settings.eps_rel),
+        sigma=max(settings.sigma, 1e-5),
+        rho_eq_scale=min(settings.rho_eq_scale, 1e2))
+
+
+def _clean64(v):
+    v = v.astype(jnp.float64)
+    return jnp.where(jnp.isfinite(v), v, 0.0)
+
+
+def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
+                             backend: str):
+    """Hybrid precision via f32 re-centering (box/equality cones only).
+
+    Round 0 solves in f32 to the f32 residual plateau (~1e-4 .. 1e-5 on
+    O(100)-scale data). Each refinement round then re-solves the SAME
+    QP with data shifted around the accumulated (x, y):
+
+        g   = P x + q + Aᵀy      (f64; becomes the correction's q)
+        l,u <- l - Ax, u - Ax    (f64 shift, cast f32)
+
+    whose exact solution (dx, dy) satisfies the ORIGINAL problem's
+    stationarity for (x+dx, y+dy) and whose internal quantities live at
+    the residual scale — f32 iterations there carry ~1e-11 absolute
+    precision, so the target 1e-6 is reached without a single f64
+    iteration. The constraint matrix is unchanged, so each round reuses
+    the same factorisation structure, and a converged round exits at
+    its first residual check (~check_every iterations of cost).
+
+    L1/SOC rows do not shift affinely; callers gate on box-only cones.
+    """
+    f32, f64 = jnp.float32, jnp.float64
+    s1 = _s32_of_shared(settings)
+    qp64 = qp.astype(f64)
+    sol = _phase(qp.astype(f32), x0.astype(f32), z0.astype(f32),
+                 y0.astype(f32), s1, backend)
+    p1_inf = (sol.status == _PINF) | (sol.status == _DINF)
+    x_t = _clean64(sol.x)
+    y_t = _clean64(sol.y)
+    iters = sol.iters
+    rho = sol.rho
+
+    # Correction rounds: absolute eps at the target tolerance (the
+    # eps_rel term scales with the tiny correction norms, so eps_abs
+    # dominates — which is exactly the true total-residual criterion).
+    s_c = s1.replace(eps_abs=settings.eps_abs, eps_rel=settings.eps_rel)
+    B = x_t.shape[0]
+    z_c64 = None
+    for _ in range(max(settings.recenter_rounds, 0)):
+        Ax = xprec.einsum("...ij,...j->...i", qp64.A, x_t)
+        Px = xprec.einsum("...ij,...j->...i", qp64.P, x_t)
+        Aty = xprec.einsum("...ji,...j->...i", qp64.A, y_t)
+        g = Px + qp64.q + Aty
+        qp_c = QPData(
+            P=qp.P.astype(f32), q=g.astype(f32), A=qp.A.astype(f32),
+            l=(qp64.l - Ax).astype(f32), u=(qp64.u - Ax).astype(f32),
+            lam=qp.lam.astype(f32), cone=qp.cone)
+        zc0 = ((z_c64 - Ax) if z_c64 is not None
+               else (_clean64(sol.z) - Ax)).astype(f32)
+        n, m = qp.n, qp.m
+        solc = _phase(qp_c, jnp.zeros((B, n), f32), zc0,
+                      jnp.zeros((B, m), f32), s_c, backend)
+        dx = _clean64(solc.x)
+        x_t = x_t + dx
+        y_t = y_t + _clean64(solc.y)
+        z_c64 = Ax + _clean64(solc.z)     # z_total ∈ C by construction
+        iters = iters + solc.iters
+        rho = solc.rho
+
+    # True residuals/status in f64 on the ORIGINAL data.
+    Ax = xprec.einsum("...ij,...j->...i", qp64.A, x_t)
+    Px = xprec.einsum("...ij,...j->...i", qp64.P, x_t)
+    Aty = xprec.einsum("...ji,...j->...i", qp64.A, y_t)
+    z_t = z_c64 if z_c64 is not None else _clean64(sol.z)
+    r_p = jnp.max(jnp.abs(Ax - z_t), axis=-1)
+    r_d = jnp.max(jnp.abs(Px + qp64.q + Aty), axis=-1)
+    linf = lambda v: jnp.max(jnp.abs(v), axis=-1)
+    eps_p = settings.eps_abs + settings.eps_rel * jnp.maximum(
+        linf(Ax), linf(z_t))
+    eps_d = settings.eps_abs + settings.eps_rel * jnp.maximum(
+        jnp.maximum(linf(Px), linf(Aty)), linf(qp64.q))
+    solved = (r_p <= eps_p) & (r_d <= eps_d)
+    status = jnp.where(
+        p1_inf, sol.status,
+        jnp.where(solved, _SOLVED, jnp.int32(int(Status.MAX_ITER))))
+    d = qp.dtype
+    return Solution(
+        x=x_t.astype(d), z=z_t.astype(d), y=y_t.astype(d),
+        status=status, iters=iters,
+        r_prim=r_p.astype(d), r_dual=r_d.astype(d),
+        obj=objective(qp64, x_t, z_t).astype(d), rho=rho.astype(d),
+        history=jnp.zeros((0, 3), d))
+
+
 def _solve_shared_core(qp, x0, z0, y0, settings: Settings, backend: str):
     precision = settings.precision
     if precision == "hybrid" and not jax.config.jax_enable_x64:
@@ -226,20 +332,18 @@ def _solve_shared_core(qp, x0, z0, y0, settings: Settings, backend: str):
         f = jnp.float64
         return _phase(qp.astype(f), x0.astype(f), z0.astype(f),
                       y0.astype(f), settings, backend)
-    s32 = settings.replace(
-        precision="single",
-        eps_abs=max(settings.hybrid_eps, settings.eps_abs),
-        eps_rel=max(settings.hybrid_eps, settings.eps_rel),
-        sigma=max(settings.sigma, 1e-5),
-        rho_eq_scale=min(settings.rho_eq_scale, 1e2))
+    # hybrid: f32 re-centering when the cone shifts affinely (box /
+    # equality rows only); otherwise the f32 -> emulated-f64 two-phase.
+    if (qp.cone.m_l1 == 0 and qp.cone.m_soc == 0
+            and settings.recenter_rounds > 0):
+        return _solve_shared_recentered(qp, x0, z0, y0, settings, backend)
+    s32 = _s32_of_shared(settings)
     f32, f64 = jnp.float32, jnp.float64
     sol32 = _phase(qp.astype(f32), x0.astype(f32), z0.astype(f32),
                    y0.astype(f32), s32, backend)
     s64 = settings.replace(precision="single", warm_start=True)
 
-    def clean(v):
-        v = v.astype(f64)
-        return jnp.where(jnp.isfinite(v), v, 0.0)
+    clean = _clean64
 
     sol64 = _phase(qp.astype(f64), clean(sol32.x),
                    clean(sol32.z), clean(sol32.y), s64, backend)

@@ -50,6 +50,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import kkt
+from .. import xprec
 from ..ops.prox import project_cone
 from ..problem import ConeSpec, QPData
 from ..settings import Settings
@@ -145,11 +146,11 @@ def consensus_body(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
     is_last = (block_ids == spec.n_blocks - 1)[:, None]
 
     rhs = (settings.sigma * x - qp_blk.q
-           + jnp.einsum("...ji,...j->...i", qp_blk.A, rho_vec * z - y))
+           + xprec.einsum("...ji,...j->...i", qp_blk.A, rho_vec * z - y))
     xt = kkt.solve_condensed(
         fac, rhs, backend, refine_steps=settings.refine_steps,
         cg_tol=settings.cg_tol, cg_max_iter=settings.cg_max_iter)
-    zt = jnp.einsum("...ij,...j->...i", qp_blk.A, xt)
+    zt = xprec.einsum("...ij,...j->...i", qp_blk.A, xt)
     x_new = a * xt + (1.0 - a) * x
     w = a * zt + (1.0 - a) * z
     v = w + y / rho_vec
@@ -232,9 +233,9 @@ def run_consensus(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
         x, z, y = jax.lax.fori_loop(0, k, inner, (c.x, c.z, c.y))
         it = c.it + k
 
-        Ax = jnp.einsum("sij,sj->si", qp_blk.A, x)
-        Px = jnp.einsum("sij,sj->si", qp_blk.P, x)
-        Aty = jnp.einsum("sji,sj->si", qp_blk.A, y)
+        Ax = xprec.einsum("sij,sj->si", qp_blk.A, x)
+        Px = xprec.einsum("sij,sj->si", qp_blk.P, x)
+        Aty = xprec.einsum("sji,sj->si", qp_blk.A, y)
         r_prim = _linf_global(Ax - z, axis)
         r_dual = _linf_global(Px + qp_blk.q + Aty, axis)
         nAx = _linf_global(Ax, axis)
@@ -327,8 +328,9 @@ def consensus_solve(qp_blk: QPData, spec: ConsensusSpec, mesh: Mesh,
                       P(axis), P(axis), P(axis), P(axis)),
             out_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P(), P()),
             check_vma=False)
-        x, z, y, status, it, rp, rd, rho = jax.jit(sharded)(
-            qp_phase, block_ids, x0, z0, y0)
+        with xprec.highest():
+            x, z, y, status, it, rp, rd, rho = jax.jit(sharded)(
+                qp_phase, block_ids, x0, z0, y0)
         return ConsensusSolution(
             x=x, z=z, y=y, status=status, iters=it,
             r_prim=rp, r_dual=rd, rho=rho)

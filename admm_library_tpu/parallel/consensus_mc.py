@@ -30,6 +30,7 @@ from ..problem import QPData
 from ..settings import Settings
 from ..solution import Status
 from .consensus import ConsensusSpec, consensus_body, _linf_scen
+from .. import xprec
 
 _UNSOLVED = jnp.int32(int(Status.UNSOLVED))
 _SOLVED = jnp.int32(int(Status.SOLVED))
@@ -124,9 +125,9 @@ def run_consensus_mc(qp_blk: QPData, spec: ConsensusSpec,
         it = it + k
         iters_sc = iters_sc + jnp.where(active, k, 0)
 
-        Ax = jnp.einsum("...ij,...j->...i", qp_blk.A, x)
-        Px = jnp.einsum("...ij,...j->...i", qp_blk.P, x)
-        Aty = jnp.einsum("...ji,...j->...i", qp_blk.A, y)
+        Ax = xprec.einsum("...ij,...j->...i", qp_blk.A, x)
+        Px = xprec.einsum("...ij,...j->...i", qp_blk.P, x)
+        Aty = xprec.einsum("...ji,...j->...i", qp_blk.A, y)
         r_p = _linf_scen(Ax - z, horizon_axis)              # (B_loc,)
         r_d = _linf_scen(Px + qp_blk.q + Aty, horizon_axis)
         nAx = _linf_scen(Ax, horizon_axis)
@@ -223,9 +224,10 @@ def consensus_solve_mc(qp_blk: QPData, spec: ConsensusSpec, mesh: Mesh,
                       PDH, PDH, PDH),
             out_specs=(PDH, PDH, PDH, PD, PD, PD, PD, P()),
             check_vma=False)
-        return jax.jit(sharded)(
-            qp_p.P, qp_p.q, qp_p.A, qp_p.lam, qp_p.l, qp_p.u,
-            block_ids, x0, z0, y0)
+        with xprec.highest():
+            return jax.jit(sharded)(
+                qp_p.P, qp_p.q, qp_p.A, qp_p.lam, qp_p.l, qp_p.u,
+                block_ids, x0, z0, y0)
 
     dtype = qp_blk.dtype
     x0 = jnp.zeros((B, Bb, spec.nb), dtype)

@@ -34,6 +34,7 @@ from ..ops.prox import project_cone
 from ..problem import ConeSpec, QPData
 from ..settings import Settings
 from ..solution import Status
+from .. import xprec
 
 _UNSOLVED = jnp.int32(int(Status.UNSOLVED))
 _SOLVED = jnp.int32(int(Status.SOLVED))
@@ -52,10 +53,10 @@ def _cg_rowsharded(P_mat, A_loc, rho_loc, sigma, rhs, axis, tol, max_iter):
     """
 
     def op(v):
-        Av = A_loc @ v                                   # (m_loc,)
-        At = (rho_loc * Av) @ A_loc                      # (n,) partial
+        Av = xprec.matmul(A_loc, v)                                   # (m_loc,)
+        At = xprec.matmul(rho_loc * Av, A_loc)                      # (n,) partial
         At = jax.lax.psum(At, axis)
-        return P_mat @ v + sigma * v + At
+        return xprec.matmul(P_mat, v) + sigma * v + At
 
     x = jnp.zeros_like(rhs)
     r = rhs - op(x)
@@ -156,11 +157,11 @@ def solve_rowsharded(qp: QPData, mesh: Mesh, settings: Settings = Settings(),
         def iter_once(_, carry):
             x, z, y = carry
             rho_loc = rho_of(rho_bar)
-            rhs_loc = ((rho_loc * z - y) @ A_loc)
+            rhs_loc = xprec.matmul(rho_loc * z - y, A_loc)
             rhs = (s.sigma * x - q + jax.lax.psum(rhs_loc, axis))
             xt = _cg_rowsharded(P_mat, A_loc, rho_loc, s.sigma, rhs,
                                 axis, s.cg_tol, s.cg_max_iter)
-            zt = A_loc @ xt
+            zt = xprec.matmul(A_loc, xt)
             a = s.alpha
             x_new = a * xt + (1 - a) * x
             w = a * zt + (1 - a) * z
@@ -180,9 +181,9 @@ def solve_rowsharded(qp: QPData, mesh: Mesh, settings: Settings = Settings(),
             x, z, y, it, status, rp, rd = c
             x, z, y = jax.lax.fori_loop(0, k, iter_once, (x, z, y))
             it = it + k
-            Ax = A_loc @ x
-            Aty = jax.lax.psum(y @ A_loc, axis)
-            Px = P_mat @ x
+            Ax = xprec.matmul(A_loc, x)
+            Aty = jax.lax.psum(xprec.matmul(y, A_loc), axis)
+            Px = xprec.matmul(P_mat, x)
             r_p = _pmax(Ax - z, axis)
             r_d = jnp.max(jnp.abs(Px + q + Aty))
             eps_p = s.eps_abs + s.eps_rel * jnp.maximum(
@@ -209,7 +210,8 @@ def solve_rowsharded(qp: QPData, mesh: Mesh, settings: Settings = Settings(),
     if cone.m_l1:
         lam_full = lam_full.at[cone.m_box:cone.m_box + cone.m_l1].set(
             qp.lam)
-    x, z, y, status, it, rp, rd = jax.jit(sharded)(
-        qp.P, qp.q, qp.A, qp.l, qp.u, lam_full, eq)
+    with xprec.highest():
+        x, z, y, status, it, rp, rd = jax.jit(sharded)(
+            qp.P, qp.q, qp.A, qp.l, qp.u, lam_full, eq)
     return RowShardSolution(x=x, z=z, y=y, status=status, iters=it,
                             r_prim=rp, r_dual=rd)

@@ -27,6 +27,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from . import xprec
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,11 +179,11 @@ def is_equality_row(qp: QPData) -> jax.Array:
 
 def objective(qp: QPData, x: jax.Array, z: jax.Array | None = None):
     """Objective value ½xᵀPx + qᵀx + Σ λ|z_l1| (uses z for the L1 term)."""
-    quad = 0.5 * jnp.einsum("...i,...ij,...j->...", x, qp.P, x)
-    lin = jnp.einsum("...i,...i->...", qp.q, x)
+    quad = 0.5 * xprec.einsum("...i,...ij,...j->...", x, qp.P, x)
+    lin = xprec.einsum("...i,...i->...", qp.q, x)
     l1 = 0.0
     if qp.cone.m_l1 > 0:
-        w = z if z is not None else jnp.einsum("...ij,...j->...i", qp.A, x)
+        w = z if z is not None else xprec.einsum("...ij,...j->...i", qp.A, x)
         sl = w[..., qp.cone.m_box:qp.cone.m_box + qp.cone.m_l1]
         l1 = jnp.sum(qp.lam * jnp.abs(sl), axis=-1)
     return quad + lin + l1

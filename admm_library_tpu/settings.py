@@ -47,6 +47,15 @@ class Settings:
     # 'double': cast the problem to f64 up front.
     precision: str = "hybrid"
     hybrid_eps: float = 1e-4    # f32 phase target (abs and rel)
+    # Re-centered refinement (box/equality-only problems): instead of an
+    # XLA-emulated f64 iteration phase, re-solve the SAME QP in f32 with
+    # data shifted around the current iterate (q <- Px+q+A'y, bounds <-
+    # bounds - Ax). The correction problem lives at the residual scale
+    # (~1e-4), where f32's relative precision gives ~1e-11 absolute, so
+    # every hot-loop iteration stays MXU-speed f32; only the shift (a
+    # few f64 matmuls per round) pays emulated-f64 cost. Rounds beyond
+    # convergence terminate at their first residual check.
+    recenter_rounds: int = 2
 
     # --- linear system backend (L0) ---
     # 'auto' | 'chol' (dense Cholesky of condensed system)

@@ -85,3 +85,29 @@ def test_shared_batch_cw_l1():
     for i in range(4):
         states = cw.propagate(spec, s0s[i], sols.x[i])
         assert float(jnp.max(jnp.abs(states[-1]))) < 1e-3
+
+
+def test_recentered_hybrid_matches_double():
+    """The f32 re-centering rounds must reach deep (1e-8) tolerances and
+    agree with a full f64 solve — without any f64 iteration phase."""
+    qp, spec, _ = mc.monte_carlo_mpc(
+        jax.random.key(6), batch=4, N=8, dim=2, dtype=jnp.float64)
+    s_hyb = Settings(eps_abs=1e-8, eps_rel=1e-8, precision="hybrid",
+                     recenter_rounds=2)
+    s_dbl = Settings(eps_abs=1e-8, eps_rel=1e-8, precision="double")
+    hyb = solve_batch_shared(qp, s_hyb)
+    dbl = solve_batch_shared(qp, s_dbl)
+    assert np.all(np.asarray(hyb.status) == int(Status.SOLVED))
+    assert float(np.max(np.asarray(hyb.r_prim))) <= 1e-7
+    assert float(np.max(np.asarray(hyb.r_dual))) <= 1e-7
+    np.testing.assert_allclose(
+        np.asarray(hyb.x), np.asarray(dbl.x), atol=1e-6)
+
+
+def test_recentered_zero_rounds_falls_back():
+    """recenter_rounds=0 selects the classic f32 -> f64 two-phase."""
+    qp, spec, _ = mc.monte_carlo_mpc(
+        jax.random.key(7), batch=3, N=6, dim=2, dtype=jnp.float64)
+    s = Settings(eps_abs=1e-8, eps_rel=1e-8, recenter_rounds=0)
+    sol = solve_batch_shared(qp, s)
+    assert np.all(np.asarray(sol.status) == int(Status.SOLVED))
