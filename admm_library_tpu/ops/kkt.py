@@ -61,6 +61,13 @@ def _factor_condensed(P, A, sigma, rho_vec, backend: str, band_block: int):
         return {"P": P, "A": A, "rho": rho_vec,
                 "sigma": jnp.asarray(sigma, P.dtype)}
     M = condensed_matrix(P, A, sigma, rho_vec)
+    if backend == "pallas_cg":
+        # Assemble-only: the Pallas PCG kernel needs M (and its
+        # diagonal, taken in-kernel); adaptive rho refreshes cost one
+        # einsum, never a factorisation. Explicitly symmetrise: CG
+        # requires symmetry and per-entry rounding of the AtRA einsum
+        # need not produce it exactly.
+        return {"M": 0.5 * (M + jnp.swapaxes(M, -1, -2))}
     if backend == "chol":
         L = jnp.linalg.cholesky(M)
         return {"M": M, "L": L}
@@ -175,6 +182,20 @@ def solve_condensed(fac, rhs, backend: str, refine_steps: int = 0,
         x = banded_ops.block_tridiag_solve(fac["Ld"], fac["Ll"], rhs)
     elif backend == "cg":
         return cg_solve(fac, rhs, tol=cg_tol, max_iter=cg_max_iter)
+    elif backend == "pallas_cg":
+        from . import pallas_cg as pcg
+        M = fac["M"]
+        if M.ndim != 2:
+            raise ValueError("pallas_cg requires an unbatched (shared) M")
+        lead = rhs.shape[:-1]
+        flat = rhs.reshape((-1, rhs.shape[-1])) if lead else rhs
+        # Follow the TARGET platform (AOT traces on a CPU worker for a
+        # TPU artifact — cf. parallel/batch.py fused gate).
+        from ..utils.aot import target_platform
+        interpret = target_platform() != "tpu"
+        x = pcg.pallas_cg_solve(
+            M, flat, iters=cg_max_iter, tol=cg_tol, interpret=interpret)
+        return x.reshape(rhs.shape)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     for _ in range(refine_steps):
