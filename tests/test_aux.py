@@ -56,3 +56,35 @@ def test_runtime_mesh_axes():
     assert info["process_count"] == 1
     # initialize() without coordinator env is a safe no-op.
     runtime.initialize()
+
+
+def test_elastic_recovery_mid_solve(tmp_path):
+    """Fault-injection drill (SURVEY.md §5.3): a run is killed mid-solve
+    (simulated by a max_iter cap), its state checkpointed, and the solve
+    resumed on a SMALLER device mesh from the snapshot — the resumed
+    solve must converge to the same solution as an uninterrupted run."""
+    from admm_library_tpu.models import monte_carlo as mc
+    from admm_library_tpu.parallel.batch import (
+        make_data_mesh, shard_batch, solve_batch_shared)
+
+    qp, spec, _ = mc.monte_carlo_mpc(
+        jax.random.key(21), batch=8, N=6, dim=2, dtype=jnp.float64)
+    s = Settings(eps_abs=1e-8, eps_rel=1e-8)
+    ref = solve_batch_shared(qp, s)
+    assert np.all(np.asarray(ref.status) == int(Status.SOLVED))
+
+    # "Fail" after a few checks on the full 8-device mesh.
+    mesh8 = make_data_mesh(8)
+    qp8, *_ = shard_batch(qp, mesh8)
+    partial = solve_batch_shared(qp8, s.replace(max_iter=2 * s.check_every))
+    path = os.path.join(tmp_path, "elastic.npz")
+    checkpoint.save_state(path, partial)
+
+    # Recover on a 4-device mesh, warm-started from the snapshot.
+    mesh4 = make_data_mesh(4)
+    x0, z0, y0 = checkpoint.resume_warm_start(path)
+    qp4, x0, z0, y0 = shard_batch(qp, mesh4, x0, z0, y0)
+    resumed = solve_batch_shared(qp4, s, x0=x0, z0=z0, y0=y0)
+    assert np.all(np.asarray(resumed.status) == int(Status.SOLVED))
+    np.testing.assert_allclose(
+        np.asarray(resumed.x), np.asarray(ref.x), atol=1e-6)
