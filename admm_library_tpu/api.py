@@ -26,14 +26,22 @@ from .solution import Solution, Status
 def resolve_backend(settings: Settings, qp_n: int | None = None) -> str:
     """Map backend='auto' to a concrete L0 backend at trace time.
 
-    banded when the problem declares MPC block structure; otherwise 'inv'
-    on TPU (per-iteration solve = one MXU matmul) and 'chol' elsewhere.
+    On TPU the dense explicit-inverse path ('inv': one MXU matmul per
+    solve) beats the block-tridiagonal scan up to large n — the banded
+    solve is 2N sequential triangular-solve scan steps, which the MXU
+    hates at batch 1 (measured: horizon-50 MPC 3.2 s banded vs
+    sub-second inv) — so 'auto' prefers 'inv' for n <= 2048 even when
+    MPC block structure is declared. Elsewhere: banded for declared
+    structure, dense Cholesky otherwise.
     """
     if settings.backend != "auto":
         return settings.backend
+    on_tpu = jax.default_backend() == "tpu"
     if settings.band_block > 0:
+        if on_tpu and (qp_n is None or qp_n <= 2048):
+            return "inv"
         return "banded"
-    return "inv" if jax.default_backend() == "tpu" else "chol"
+    return "inv" if on_tpu else "chol"
 
 
 def _solve_one_phase(qp: QPData, x0, z0, y0, settings: Settings,
@@ -197,7 +205,7 @@ def solve(qp: QPData, settings: Settings = Settings(),
         z0 = jnp.zeros(qp.A.shape[:-2] + (m,), dtype)
     if y0 is None:
         y0 = jnp.zeros_like(z0)
-    backend = resolve_backend(settings)
+    backend = resolve_backend(settings, qp_n=n)
 
     precision = settings.precision
     if precision == "hybrid" and not _x64_available():
@@ -207,13 +215,14 @@ def solve(qp: QPData, settings: Settings = Settings(),
 
     from .utils import aot
 
-    def phase(qp_p, x_p, z_p, y_p, s_p):
+    def phase(qp_p, x_p, z_p, y_p, s_p, backend_p=None):
+        backend_p = backend_p or backend
         if aot.enabled():
             return aot.call(
                 "solve_phase",
-                {"settings": dataclasses.asdict(s_p), "backend": backend},
+                {"settings": dataclasses.asdict(s_p), "backend": backend_p},
                 (qp_p, x_p, z_p, y_p))
-        return _phase_jit(qp_p, x_p, z_p, y_p, s_p, backend)
+        return _phase_jit(qp_p, x_p, z_p, y_p, s_p, backend_p)
 
     def do_polish(qp_p, sol_p, act_tol):
         if aot.enabled():
@@ -249,7 +258,16 @@ def solve(qp: QPData, settings: Settings = Settings(),
 
     s64 = settings.replace(precision="single", warm_start=True,
                            polish=False)
-    sol64 = phase(qp64, sol32_64.x, sol32_64.z, sol32_64.y, s64)
+    # The f64 phase's dots are XLA-emulated; the block-tridiagonal
+    # scans are brutally slow there (measured on the horizon-50 MPC:
+    # banded 3.0 s vs dense explicit-inverse 145 ms for the same 150
+    # iterations; CG-from-zeros 5.2 s). Prefer 'inv' for the f64 phase
+    # on TPU under 'auto'.
+    backend64 = backend
+    if jax.default_backend() == "tpu" and settings.backend == "auto":
+        backend64 = "inv"
+    sol64 = phase(qp64, sol32_64.x, sol32_64.z, sol32_64.y, s64,
+                  backend_p=backend64)
     if settings.polish:
         sol64 = dataclasses.replace(
             do_polish(qp64, sol64, 1e-4), iters=sol64.iters)
@@ -278,7 +296,7 @@ def solve_batch(qp_batch: QPData, settings: Settings = Settings(),
         z0 = jnp.zeros((B, m), dtype)
     if y0 is None:
         y0 = jnp.zeros_like(z0)
-    backend = resolve_backend(settings)
+    backend = resolve_backend(settings, qp_n=n)
     fn = jax.jit(
         jax.vmap(partial(_solve_core, settings=settings, backend=backend)),
         static_argnames=())

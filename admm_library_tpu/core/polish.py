@@ -44,11 +44,11 @@ def _residuals_unscaled(qp: QPData, x, z, y):
 
 
 def polish(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
-           act_tol: float = 1e-4, delta: float = 1e-9) -> Solution:
+           act_tol: float = 1e-4, delta: float = 1e-7) -> Solution:
     """Polish `sol` on the (f64) problem `qp`. Static shapes throughout.
 
     act_tol: relative distance for active-set detection;
-    delta: penalty weight (constraint defect ~ delta * |y|).
+    delta: AL penalty weight; multiplier passes push the defect to machine level.
     """
     with xprec.highest():
         return _polish_inner(qp, sol, eps_abs, eps_rel, act_tol, delta)
@@ -97,7 +97,6 @@ def _polish_inner(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
     w = jnp.where(act, 1.0 / delta, 0.0)
     M = (qp.P + delta * jnp.eye(qp.n, dtype=dtype)
          + xprec.einsum("...ji,...j,...jk->...ik", qp.A, w, qp.A))
-    rhs = -q_eff + xprec.einsum("...ji,...j->...i", qp.A, w * b)
     L = jnp.linalg.cholesky(M)
 
     def solve_M(r):
@@ -105,14 +104,25 @@ def _polish_inner(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
         t = solve_triangular(L, r[..., None], lower=True)
         return solve_triangular(L, t, lower=True, trans=1)[..., 0]
 
-    x = solve_M(rhs)
-    for _ in range(3):                      # iterative refinement, f64
-        r = rhs - xprec.einsum("...ij,...j->...i", M, x)
-        x = x + solve_M(r)
+    # Augmented-Lagrangian passes on the active rows: each pass reuses
+    # the cached factor and shrinks the constraint defect by ~O(delta
+    # * kappa), so a moderate delta (stable to factor even when P is
+    # singular on the state block, e.g. min-energy MPC) still reaches
+    # machine-level defects — a single penalty solve at delta=1e-9
+    # had cond(M) ~ 1/delta^2 and was rejected by the acceptance test.
+    y_mult = jnp.zeros_like(z0)
+    x = jnp.zeros_like(x0)
+    for _ in range(3):
+        rhs = -q_eff + xprec.einsum(
+            "...ji,...j->...i", qp.A, w * b - jnp.where(act, y_mult, 0.0))
+        x = solve_M(rhs)
+        for _ in range(2):                  # iterative refinement, f64
+            r = rhs - xprec.einsum("...ij,...j->...i", M, x)
+            x = x + solve_M(r)
+        Ax = xprec.einsum("...ij,...j->...i", qp.A, x)
+        y_mult = y_mult + w * (Ax - b)
 
-    Ax = xprec.einsum("...ij,...j->...i", qp.A, x)
-    y_act = w * (Ax - b)
-    y = jnp.where(act, y_act, 0.0) + lam_sign
+    y = jnp.where(act, y_mult, 0.0) + lam_sign
     if cone.m_soc:
         y = y.at[..., mb + ml:].set(y0[..., mb + ml:])
     z = jnp.where(act, b, Ax)

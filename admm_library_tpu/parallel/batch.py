@@ -383,7 +383,7 @@ def solve_batch_shared(qp: QPData, settings: Settings = Settings(),
         z0 = jnp.zeros((B, m), dtype)
     if y0 is None:
         y0 = jnp.zeros_like(z0)
-    backend = resolve_backend(settings)
+    backend = resolve_backend(settings, qp_n=n)
     # pallas_call has no SPMD partitioning rule: when the batch is laid
     # out across devices (shard_batch), fall back to the XLA iteration
     # body, which partitions cleanly along the data axis.

@@ -63,13 +63,36 @@ def _avals_of(args):
                                        jax.numpy.result_type(a)), args)
 
 
+_SRC_HASH: str | None = None
+
+
+def _source_hash() -> str:
+    """Content hash of every .py in the package, so an artifact can
+    never outlive the solver code that produced it (a version string
+    only invalidates when someone remembers to bump it)."""
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        import admm_library_tpu
+        root = os.path.dirname(os.path.abspath(admm_library_tpu.__file__))
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    p = os.path.join(dirpath, fn)
+                    h.update(p.encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        _SRC_HASH = h.hexdigest()[:16]
+    return _SRC_HASH
+
+
 def _key(name: str, params: dict, avals) -> str:
-    import admm_library_tpu
     leaves, treedef = jax.tree.flatten(avals)
     sig = json.dumps([
         name, params,
         [[list(l.shape), str(l.dtype)] for l in leaves], str(treedef),
-        jax.__version__, admm_library_tpu.__version__,
+        jax.__version__, _source_hash(),
     ], sort_keys=True)
     return hashlib.sha256(sig.encode()).hexdigest()[:24]
 
