@@ -45,15 +45,16 @@ def resolve_backend(settings: Settings, qp_n: int | None = None) -> str:
 
 
 def _solve_one_phase(qp: QPData, x0, z0, y0, settings: Settings,
-                     backend: str):
+                     backend: str, z_off=None):
     # Exact-f32 dots for everything traced below (triangular solves,
     # residuals): TPU default matmul precision diverges — see xprec.
     with xprec.highest():
-        return _solve_one_phase_inner(qp, x0, z0, y0, settings, backend)
+        return _solve_one_phase_inner(qp, x0, z0, y0, settings, backend,
+                                      z_off)
 
 
 def _solve_one_phase_inner(qp: QPData, x0, z0, y0, settings: Settings,
-                           backend: str):
+                           backend: str, z_off=None):
     qps, scaling = ruiz_equilibrate(qp, settings.scaling_iters)
     if settings.warm_start:
         xs = scaling.scale_x(x0)
@@ -61,9 +62,11 @@ def _solve_one_phase_inner(qp: QPData, x0, z0, y0, settings: Settings,
         ys = scaling.scale_y(y0)
     else:
         xs, zs, ys = x0, z0, y0
+    if z_off is not None:
+        z_off = scaling.scale_z(z_off)      # offsets live in z-space
     carry = admm.run_admm(
         qps, scaling, settings, xs, zs, ys, backend,
-        band_block=settings.band_block)
+        band_block=settings.band_block, z_off=z_off)
     x = scaling.unscale_x(carry.x)
     z = scaling.unscale_z(carry.z)
     y = scaling.unscale_y(carry.y)
@@ -148,6 +151,11 @@ def _phase_jit(qp, x0, z0, y0, settings, backend):
     return _solve_one_phase(qp, x0, z0, y0, settings, backend)
 
 
+@partial(jax.jit, static_argnames=("settings", "backend"))
+def _phase_off_jit(qp, x0, z0, y0, z_off, settings, backend):
+    return _solve_one_phase(qp, x0, z0, y0, settings, backend, z_off=z_off)
+
+
 @partial(jax.jit, static_argnames=("eps_abs", "eps_rel", "act_tol"))
 def _polish_jit(qp64, sol, eps_abs, eps_rel, act_tol):
     return polish_fn(qp64, sol, eps_abs, eps_rel, act_tol=act_tol)
@@ -181,6 +189,107 @@ def _finish(sol, sol32, settings, out_dtype):
         r_dual=sol.r_dual.astype(out_dtype),
         obj=sol.obj.astype(out_dtype),
         rho=sol.rho.astype(out_dtype), history=sol.history)
+
+
+def _recentered_rounds(qp: QPData, qp64: QPData, sol0: Solution,
+                       settings: Settings, backend: str, phase_off):
+    """Run recenter_rounds f32 correction solves; returns (Solution(f64),
+    solved: bool) or None when the cone layout can't be handled.
+
+    Box rows shift exactly (bounds - Ax); L1/SOC rows keep their
+    original bounds/lam and evaluate the shifted prox with offset = Ax
+    (ops/prox.project_cone). Each round's true residuals are evaluated
+    in f64 on the original data; rounds stop early once converged.
+    """
+    f32, f64 = jnp.float32, jnp.float64
+    cone = qp.cone
+    mb = cone.m_box
+
+    def clean(v):
+        v = v.astype(f64)
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
+    x_t, y_t, z_t = sol0.x, sol0.y, sol0.z
+    iters = jnp.int32(0)
+    rho = sol0.rho
+    s_c = _s32_of(settings).replace(
+        eps_abs=settings.eps_abs, eps_rel=settings.eps_rel,
+        # Correction problems are feasible by construction; their
+        # domains mix shifted and original rows, so certificates are
+        # meaningless there — disable.
+        eps_pinf=0.0, eps_dinf=0.0)
+
+    def true_resid(x_t, y_t, z_t):
+        Ax = xprec.einsum("...ij,...j->...i", qp64.A, x_t)
+        Px = xprec.einsum("...ij,...j->...i", qp64.P, x_t)
+        Aty = xprec.einsum("...ji,...j->...i", qp64.A, y_t)
+        r_p = jnp.max(jnp.abs(Ax - z_t), axis=-1)
+        r_d = jnp.max(jnp.abs(Px + qp64.q + Aty), axis=-1)
+        linf = lambda v: jnp.max(jnp.abs(v), axis=-1)
+        eps_p = settings.eps_abs + settings.eps_rel * jnp.maximum(
+            linf(Ax), linf(z_t))
+        eps_d = settings.eps_abs + settings.eps_rel * jnp.maximum(
+            jnp.maximum(linf(Px), linf(Aty)), linf(qp64.q))
+        solved = (r_p <= eps_p) & (r_d <= eps_d)
+        return Ax, Px, Aty, r_p, r_d, solved, eps_p, eps_d
+
+    solved = False
+    r_p = sol0.r_prim
+    r_d = sol0.r_dual
+    import math
+    for _ in range(settings.recenter_rounds):
+        Ax, Px, Aty, r_p, r_d, solved_d, eps_p, eps_d = true_resid(
+            x_t, y_t, z_t)
+        solved = bool(solved_d)                       # host sync
+        if solved:
+            break
+        # Each round only needs to satisfy the ORIGINAL mixed criterion,
+        # whose eps_rel term scales with the TOTAL norms — demanding the
+        # raw eps_abs at the correction scale burns 100x the iterations
+        # (measured on the low-thrust SOCP). Quantise to a power of two
+        # so the Settings hash (a static jit arg) stays cache-stable.
+        eps_round = float(jnp.minimum(eps_p, eps_d))
+        eps_q = 2.0 ** math.floor(math.log2(max(eps_round,
+                                                settings.eps_abs)))
+        s_round = s_c.replace(eps_abs=eps_q, eps_rel=0.0)
+        # g = Px + q ONLY (no A'y tilt): the correction problem is then
+        # EXACTLY the original in shifted coordinates, so its dual is a
+        # complete, structurally-valid dual for the original — summing
+        # partial duals across rounds instead leaves junk on inactive
+        # rows that tilts x off the true optimum while stationarity and
+        # primal residuals look perfect (observed: 5e-4 solution error
+        # at 1e-10 reported residuals). Duals are therefore WARM-STARTED
+        # and replaced, never accumulated.
+        g = Px + qp64.q
+        l_c = jnp.concatenate(
+            [qp64.l[..., :mb] - Ax[..., :mb], qp64.l[..., mb:]], axis=-1)
+        u_c = jnp.concatenate(
+            [qp64.u[..., :mb] - Ax[..., :mb], qp64.u[..., mb:]], axis=-1)
+        off = jnp.concatenate(
+            [jnp.zeros_like(Ax[..., :mb]), Ax[..., mb:]], axis=-1)
+        qp_c = QPData(
+            P=qp.P.astype(f32), q=g.astype(f32), A=qp.A.astype(f32),
+            l=l_c.astype(f32), u=u_c.astype(f32),
+            lam=qp.lam.astype(f32), cone=cone)
+        sol_c = phase_off(qp_c, jnp.zeros_like(qp_c.q),
+                          (z_t - Ax).astype(f32),
+                          y_t.astype(f32),
+                          off, s_round)    # offset stays f64 (prox upcasts)
+        x_t = x_t + clean(sol_c.x)
+        y_t = clean(sol_c.y)
+        z_t = Ax + clean(sol_c.z)
+        iters = iters + sol_c.iters
+        rho = sol_c.rho.astype(f64)
+    if not solved:
+        _, _, _, r_p, r_d, solved_d, _, _ = true_resid(x_t, y_t, z_t)
+        solved = bool(solved_d)
+    status = jnp.int32(int(Status.SOLVED if solved else Status.MAX_ITER))
+    sol = Solution(
+        x=x_t, z=z_t, y=y_t, status=status, iters=iters,
+        r_prim=jnp.asarray(r_p, f64), r_dual=jnp.asarray(r_d, f64),
+        obj=objective(qp64, x_t, z_t), rho=jnp.asarray(rho, f64),
+        history=sol0.history)
+    return sol, solved
 
 
 def solve(qp: QPData, settings: Settings = Settings(),
@@ -255,6 +364,34 @@ def solve(qp: QPData, settings: Settings = Settings(),
         pol = do_polish(qp64, sol32_64, 10.0 * settings.hybrid_eps)
         if int(pol.status) == int(Status.SOLVED):       # host sync
             return _finish(pol, sol32, settings, dtype)
+
+    # --- re-centered f32 refinement rounds (cf. parallel/batch.py) ---
+    # Re-solve the SAME problem with data shifted around the current
+    # iterate: box bounds shift exactly; L1/SOC rows use the shifted
+    # prox (offset = Ax on those rows, original bounds/lam kept). All
+    # hot-loop work stays f32; only the shift runs in emulated f64.
+    def phase_off(qp_p, x_p, z_p, y_p, off_p, s_p):
+        if aot.enabled():
+            return aot.call(
+                "solve_phase_off",
+                {"settings": dataclasses.asdict(s_p), "backend": backend},
+                (qp_p, x_p, z_p, y_p, off_p))
+        return _phase_off_jit(qp_p, x_p, z_p, y_p, off_p, s_p, backend)
+
+    if settings.recenter_rounds > 0:
+        rec = _recentered_rounds(qp, qp64, sol32_64, settings, backend,
+                                 phase_off=phase_off)
+        if rec is not None:
+            sol_r, solved_r = rec
+            if solved_r:
+                if settings.polish:
+                    pol = do_polish(qp64, sol_r, 1e-4)
+                    if int(pol.status) == int(Status.SOLVED):
+                        return _finish(
+                            dataclasses.replace(pol, iters=sol_r.iters),
+                            sol32, settings, dtype)
+                return _finish(sol_r, sol32, settings, dtype)
+            sol32_64 = sol_r       # warm-start the f64 phase from it
 
     s64 = settings.replace(precision="single", warm_start=True,
                            polish=False)

@@ -83,8 +83,12 @@ class AdmmCarry(NamedTuple):
 
 
 def admm_iteration(qp: QPData, fac, x, z, y, rho_vec, settings: Settings,
-                   backend: str):
-    """One ADMM iteration on the scaled problem (A1). Batch-dim agnostic."""
+                   backend: str, z_off=None):
+    """One ADMM iteration on the scaled problem (A1). Batch-dim agnostic.
+
+    z_off: optional (m,) shifted-prox offset for L1/SOC rows (re-centered
+    refinement; see ops/prox.project_cone).
+    """
     rhs = (settings.sigma * x - qp.q
            + xprec.einsum("...ji,...j->...i", qp.A, rho_vec * z - y))
     xt = kkt.solve_condensed(
@@ -97,16 +101,19 @@ def admm_iteration(qp: QPData, fac, x, z, y, rho_vec, settings: Settings,
     v = w + y / rho_vec
     mb, ml = qp.cone.m_box, qp.cone.m_l1
     lam_over_rho = (qp.lam / rho_vec[..., mb:mb + ml]) if ml else qp.lam
-    z_new = project_cone(v, qp.l, qp.u, lam_over_rho, qp.cone)
+    z_new = project_cone(v, qp.l, qp.u, lam_over_rho, qp.cone,
+                         offset=z_off)
     y_new = y + rho_vec * (w - z_new)
     return x_new, z_new, y_new
 
 
-def iterate_block(qp, fac, x, z, y, rho_vec, settings, backend, k: int):
+def iterate_block(qp, fac, x, z, y, rho_vec, settings, backend, k: int,
+                  z_off=None):
     """Run k fused iterations (the inner `lax.fori_loop` of A2)."""
 
     def body(_, xyz):
-        return admm_iteration(qp, fac, *xyz, rho_vec, settings, backend)
+        return admm_iteration(qp, fac, *xyz, rho_vec, settings, backend,
+                              z_off=z_off)
 
     return jax.lax.fori_loop(0, k, body, (x, z, y))
 
@@ -260,11 +267,13 @@ def adapt_rho(rho_bar, res, settings: Settings):
 
 
 def run_admm(qp: QPData, scaling: Scaling, settings: Settings,
-             x0, z0, y0, backend: str, band_block: int = 0) -> AdmmCarry:
+             x0, z0, y0, backend: str, band_block: int = 0,
+             z_off=None) -> AdmmCarry:
     """Full on-device solve of the scaled problem (A2 driver).
 
     Returns the final carry (scaled iterates); callers unscale and wrap
     into a Solution. The loop is fully shape-static and jit-safe.
+    z_off: optional SCALED shifted-prox offset for L1/SOC rows.
     """
     dtype = qp.dtype
     eq_mask = is_equality_row(qp)
@@ -293,7 +302,8 @@ def run_admm(qp: QPData, scaling: Scaling, settings: Settings,
     def body(c: AdmmCarry) -> AdmmCarry:
         rho_vec = rho_vec_of(c.rho_bar, eq_mask, settings)
         x, z, y = iterate_block(
-            qp, c.fac, c.x, c.z, c.y, rho_vec, settings, backend, k)
+            qp, c.fac, c.x, c.z, c.y, rho_vec, settings, backend, k,
+            z_off=z_off)
         it = c.it + k
 
         res = residuals(qp, scaling, x, z, y)

@@ -91,23 +91,50 @@ def project_soc_rows(v, soc_dims, axis=-1):
     return jnp.concatenate(parts, axis=-1)
 
 
-def project_cone(v, l, u, lam_over_rho, cone: ConeSpec):
+def project_cone(v, l, u, lam_over_rho, cone: ConeSpec, offset=None):
     """X4: composite projection / prox onto the static product cone.
 
     v: (..., m) point to project; l, u: (..., m) bounds (used on box rows);
     lam_over_rho: (..., m_l1) soft-threshold levels for the L1 rows.
     Returns z = prox_g(v) with g = indicator(box) + lam|.|_1 + indicator(SOC).
+
+    offset (optional, (..., m)): evaluates the SHIFTED prox on the L1
+    and SOC segments — prox of g(. + a) is prox_g(v + a) - a — used by
+    re-centered refinement, where those cones do not shift affinely the
+    way box bounds do. Box rows ignore the offset (callers shift l/u
+    exactly instead, which keeps box arithmetic at the correction
+    scale); L1/SOC rows must then carry their ORIGINAL l/u/lam.
     """
     mb, ml = cone.m_box, cone.m_l1
+    # The shifted segments compute in the OFFSET's dtype (callers pass
+    # f64): v + a rounds at the total scale ||a||, which in f32 would
+    # floor the correction residual at ~1e-7 * scale. The prox is
+    # elementwise/blockwise VPU work — a tiny fraction of iteration
+    # cost even with emulated f64 — so upcasting buys correction-scale
+    # accuracy for free. Results cast back to v's dtype.
+    hi = offset.dtype if offset is not None else None
     parts = []
     if mb:
         parts.append(project_box(v[..., :mb], l[..., :mb], u[..., :mb]))
     if ml:
-        parts.append(soft_threshold_box(
-            v[..., mb:mb + ml], lam_over_rho,
-            l[..., mb:mb + ml], u[..., mb:mb + ml]))
+        vl = v[..., mb:mb + ml]
+        ll, lu = l[..., mb:mb + ml], u[..., mb:mb + ml]
+        if offset is not None:
+            a = offset[..., mb:mb + ml]
+            out = soft_threshold_box(
+                vl.astype(hi) + a, lam_over_rho.astype(hi),
+                ll.astype(hi), lu.astype(hi)) - a
+            parts.append(out.astype(v.dtype))
+        else:
+            parts.append(soft_threshold_box(vl, lam_over_rho, ll, lu))
     if cone.m_soc:
-        parts.append(project_soc_rows(v[..., mb + ml:], cone.soc_dims))
+        vs = v[..., mb + ml:]
+        if offset is not None:
+            a = offset[..., mb + ml:]
+            out = project_soc_rows(vs.astype(hi) + a, cone.soc_dims) - a
+            parts.append(out.astype(v.dtype))
+        else:
+            parts.append(project_soc_rows(vs, cone.soc_dims))
     if len(parts) == 1:
         return parts[0]
     return jnp.concatenate(parts, axis=-1)

@@ -279,20 +279,22 @@ def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
     for _ in range(max(settings.recenter_rounds, 0)):
         Ax = xprec.einsum("...ij,...j->...i", qp64.A, x_t)
         Px = xprec.einsum("...ij,...j->...i", qp64.P, x_t)
-        Aty = xprec.einsum("...ji,...j->...i", qp64.A, y_t)
-        g = Px + qp64.q + Aty
+        # g = Px + q ONLY — no A'y tilt: the correction problem is the
+        # original in shifted coordinates, so its dual is a complete
+        # valid dual. Duals are warm-started and REPLACED, never
+        # accumulated (summing partial duals leaves junk on inactive
+        # rows that silently tilts x off the optimum; see api.py).
+        g = Px + qp64.q
         qp_c = QPData(
             P=qp.P.astype(f32), q=g.astype(f32), A=qp.A.astype(f32),
             l=(qp64.l - Ax).astype(f32), u=(qp64.u - Ax).astype(f32),
             lam=qp.lam.astype(f32), cone=qp.cone)
         zc0 = ((z_c64 - Ax) if z_c64 is not None
                else (_clean64(sol.z) - Ax)).astype(f32)
-        n, m = qp.n, qp.m
-        solc = _phase(qp_c, jnp.zeros((B, n), f32), zc0,
-                      jnp.zeros((B, m), f32), s_c, backend)
-        dx = _clean64(solc.x)
-        x_t = x_t + dx
-        y_t = y_t + _clean64(solc.y)
+        solc = _phase(qp_c, jnp.zeros((B, qp.n), f32), zc0,
+                      y_t.astype(f32), s_c, backend)
+        x_t = x_t + _clean64(solc.x)
+        y_t = _clean64(solc.y)
         z_c64 = Ax + _clean64(solc.z)     # z_total ∈ C by construction
         iters = iters + solc.iters
         rho = solc.rho
@@ -314,12 +316,37 @@ def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
         p1_inf, sol.status,
         jnp.where(solved, _SOLVED, jnp.int32(int(Status.MAX_ITER))))
     d = qp.dtype
-    return Solution(
+    rec = Solution(
         x=x_t.astype(d), z=z_t.astype(d), y=y_t.astype(d),
         status=status, iters=iters,
         r_prim=r_p.astype(d), r_dual=r_d.astype(d),
         obj=objective(qp64, x_t, z_t).astype(d), rho=rho.astype(d),
         history=jnp.zeros((0, 3), d))
+
+    # Emulated-f64 fallback for eps targets below the f32 dual floor
+    # (~1e-7 * scale: the rounds re-derive duals in f32). lax.cond
+    # skips the whole phase at runtime when every lane closed in f32 —
+    # the common case for 1e-6 targets.
+    s64 = settings.replace(precision="single", warm_start=True,
+                           recenter_rounds=0)
+
+    def run64(args):
+        x_w, z_w, y_w = args
+        sol64 = _phase(qp64, x_w, z_w, y_w, s64, backend)
+        return Solution(
+            x=sol64.x.astype(d), z=sol64.z.astype(d),
+            y=sol64.y.astype(d),
+            status=jnp.where(p1_inf, sol.status, sol64.status),
+            iters=iters + sol64.iters,
+            r_prim=sol64.r_prim.astype(d), r_dual=sol64.r_dual.astype(d),
+            obj=sol64.obj.astype(d), rho=sol64.rho.astype(d),
+            history=jnp.zeros((0, 3), d))
+
+    def keep(args):
+        return rec
+
+    return jax.lax.cond(
+        jnp.any(~solved & ~p1_inf), run64, keep, (x_t, z_t, y_t))
 
 
 def _solve_shared_core(qp, x0, z0, y0, settings: Settings, backend: str):

@@ -30,6 +30,17 @@ def build(name: str, params: dict):
 
         return jax.jit(fn)
 
+    if name == "solve_phase_off":
+        from ..api import _solve_one_phase
+        settings = Settings(**params["settings"])
+        backend = params["backend"]
+
+        def fn(qp, x0, z0, y0, z_off):
+            return _solve_one_phase(qp, x0, z0, y0, settings, backend,
+                                    z_off=z_off)
+
+        return jax.jit(fn)
+
     if name == "polish":
         from ..core.polish import polish
 

@@ -62,17 +62,26 @@ def test_shared_batch_honest_lane_iters():
 
 
 def test_sharded_batch_over_mesh():
-    """P1 over an 8-device mesh: results identical to unsharded run."""
+    """P1 over an 8-device mesh: results identical to unsharded run.
+
+    fused='off' on both sides so the comparison runs the SAME program
+    (the sharded path cannot use the Pallas kernel, and fused-vs-XLA
+    f32 arithmetic differs in the last bits by design). Agreement is
+    asserted at solve tolerance, not bitwise: the shared-rho geomean is
+    a cross-lane reduction whose order differs across topologies
+    (SURVEY.md §7 bitwise-stability scope: same-topology bitwise,
+    cross-topology tolerance-level)."""
     assert jax.device_count() >= 8
+    s = TOL.replace(fused="off")
     qp, spec, _ = mc.monte_carlo_mpc(
         jax.random.key(4), batch=16, N=6, dim=2, dtype=jnp.float64)
-    ref = solve_batch_shared(qp, TOL)
+    ref = solve_batch_shared(qp, s)
 
     mesh = make_data_mesh(8)
     qp_s, *_ = shard_batch(qp, mesh)
-    sols = solve_batch_shared(qp_s, TOL)
+    sols = solve_batch_shared(qp_s, s)
     assert np.all(np.asarray(sols.status) == int(Status.SOLVED))
-    np.testing.assert_allclose(sols.x, ref.x, atol=1e-9)
+    np.testing.assert_allclose(sols.x, ref.x, atol=1e-6)
 
 
 def test_shared_batch_cw_l1():
