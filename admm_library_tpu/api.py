@@ -192,7 +192,8 @@ def _finish(sol, sol32, settings, out_dtype):
 
 
 def _recentered_rounds(qp: QPData, qp64: QPData, sol0: Solution,
-                       settings: Settings, backend: str, phase_off):
+                       settings: Settings, backend: str, phase_off,
+                       try_polish=None):
     """Run recenter_rounds f32 correction solves; returns (Solution(f64),
     solved: bool) or None when the cone layout can't be handled.
 
@@ -252,6 +253,9 @@ def _recentered_rounds(qp: QPData, qp64: QPData, sol0: Solution,
         eps_q = 2.0 ** math.floor(math.log2(max(eps_round,
                                                 settings.eps_abs)))
         s_round = s_c.replace(eps_abs=eps_q, eps_rel=0.0)
+        if settings.recenter_max_iter > 0:
+            s_round = s_round.replace(max_iter=min(
+                settings.max_iter, settings.recenter_max_iter))
         # g = Px + q ONLY (no A'y tilt): the correction problem is then
         # EXACTLY the original in shifted coordinates, so its dual is a
         # complete, structurally-valid dual for the original — summing
@@ -280,6 +284,21 @@ def _recentered_rounds(qp: QPData, qp64: QPData, sol0: Solution,
         z_t = Ax + clean(sol_c.z)
         iters = iters + sol_c.iters
         rho = sol_c.rho.astype(f64)
+        # Polish from the partially-converged round: on LP-like
+        # problems (min-fuel L1) the active set locks in long before
+        # the first-order tail finishes — landing here skips tens of
+        # thousands of iterations (measured 60k -> ~4k on the CW
+        # min-fuel benchmark).
+        if try_polish is not None:
+            cand = Solution(
+                x=x_t, z=z_t, y=y_t, status=jnp.int32(0), iters=iters,
+                r_prim=jnp.asarray(r_p, f64),
+                r_dual=jnp.asarray(r_d, f64),
+                obj=objective(qp64, x_t, z_t),
+                rho=jnp.asarray(rho, f64), history=sol0.history)
+            pol = try_polish(cand)
+            if int(pol.status) == int(Status.SOLVED):    # host sync
+                return dataclasses.replace(pol, iters=iters), True
     if not solved:
         _, _, _, r_p, r_d, solved_d, _, _ = true_resid(x_t, y_t, z_t)
         solved = bool(solved_d)
@@ -379,8 +398,10 @@ def solve(qp: QPData, settings: Settings = Settings(),
         return _phase_off_jit(qp_p, x_p, z_p, y_p, off_p, s_p, backend)
 
     if settings.recenter_rounds > 0:
+        tp = ((lambda cand: do_polish(qp64, cand, 1e-4))
+              if settings.polish else None)
         rec = _recentered_rounds(qp, qp64, sol32_64, settings, backend,
-                                 phase_off=phase_off)
+                                 phase_off=phase_off, try_polish=tp)
         if rec is not None:
             sol_r, solved_r = rec
             if solved_r:

@@ -275,8 +275,10 @@ def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
     # dominates — which is exactly the true total-residual criterion).
     s_c = s1.replace(eps_abs=settings.eps_abs, eps_rel=settings.eps_rel)
     B = x_t.shape[0]
-    z_c64 = None
-    for _ in range(max(settings.recenter_rounds, 0)):
+    z_t64 = _clean64(sol.z)
+
+    def round_fn(carry):
+        x_t, y_t, z_t64, iters, rho = carry
         Ax = xprec.einsum("...ij,...j->...i", qp64.A, x_t)
         Px = xprec.einsum("...ij,...j->...i", qp64.P, x_t)
         # g = Px + q ONLY — no A'y tilt: the correction problem is the
@@ -289,21 +291,35 @@ def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
             P=qp.P.astype(f32), q=g.astype(f32), A=qp.A.astype(f32),
             l=(qp64.l - Ax).astype(f32), u=(qp64.u - Ax).astype(f32),
             lam=qp.lam.astype(f32), cone=qp.cone)
-        zc0 = ((z_c64 - Ax) if z_c64 is not None
-               else (_clean64(sol.z) - Ax)).astype(f32)
+        zc0 = (z_t64 - Ax).astype(f32)
         solc = _phase(qp_c, jnp.zeros((B, qp.n), f32), zc0,
                       y_t.astype(f32), s_c, backend)
         x_t = x_t + _clean64(solc.x)
         y_t = _clean64(solc.y)
-        z_c64 = Ax + _clean64(solc.z)     # z_total ∈ C by construction
-        iters = iters + solc.iters
-        rho = solc.rho
+        z_t64 = Ax + _clean64(solc.z)     # z_total ∈ C by construction
+        return (x_t, y_t, z_t64, iters + solc.iters,
+                solc.rho.astype(rho.dtype)), solc.status
+
+    carry = (x_t, y_t, z_t64, iters, rho)
+    round_status = jnp.full((B,), _UNSOLVED)
+    for r in range(max(settings.recenter_rounds, 0)):
+        if r == 0:
+            carry, round_status = round_fn(carry)
+        else:
+            # Skip later rounds at runtime once every lane met the
+            # round criterion — each round costs a Ruiz pass + a
+            # factorisation + check_every iterations even when it
+            # converges immediately.
+            carry, round_status = jax.lax.cond(
+                jnp.all(round_status == _SOLVED),
+                lambda c: (c, round_status), round_fn, carry)
+    x_t, y_t, z_t64, iters, rho = carry
 
     # True residuals/status in f64 on the ORIGINAL data.
     Ax = xprec.einsum("...ij,...j->...i", qp64.A, x_t)
     Px = xprec.einsum("...ij,...j->...i", qp64.P, x_t)
     Aty = xprec.einsum("...ji,...j->...i", qp64.A, y_t)
-    z_t = z_c64 if z_c64 is not None else _clean64(sol.z)
+    z_t = z_t64
     r_p = jnp.max(jnp.abs(Ax - z_t), axis=-1)
     r_d = jnp.max(jnp.abs(Px + qp64.q + Aty), axis=-1)
     linf = lambda v: jnp.max(jnp.abs(v), axis=-1)

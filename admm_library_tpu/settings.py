@@ -56,6 +56,12 @@ class Settings:
     # few f64 matmuls per round) pays emulated-f64 cost. Rounds beyond
     # convergence terminate at their first residual check.
     recenter_rounds: int = 2
+    # Per-round iteration cap for the staged solve()'s re-centering:
+    # LP-like problems (min-fuel L1) crawl through the first-order tail,
+    # but polish usually lands from a partially-converged round — the
+    # staged path tries polish after every round, so rounds only need
+    # to refine the active set, not converge. 0 disables the cap.
+    recenter_max_iter: int = 2000
 
     # --- linear system backend (L0) ---
     # 'auto' | 'chol' (dense Cholesky of condensed system)

@@ -42,13 +42,15 @@ def test_low_thrust_socp():
     s0 = np.array([200.0, -1500.0, 50.0, 0.0, 0.8, -0.05])
     qp, spec = lt.build_low_thrust_socp(
         s0, N=25, dt=240.0, u_max=0.05, dtype=jnp.float64)
-    s = TOL.replace(band_block=spec.block)
+    # eps_rel=1e-9: the rollout check below re-integrates the dynamics,
+    # which amplifies per-row constraint defects ~1000x over the
+    # horizon; the solver stops exactly at the mixed criterion (the old
+    # emulated-f64 phase overshot it), so the test requests a tolerance
+    # tight enough for the physics bound rather than relying on
+    # overshoot.
+    s = TOL.replace(band_block=spec.block, eps_rel=1e-9)
     sol = solve(qp, s)
     assert int(sol.status) == int(Status.SOLVED)
-    # Physics: rollout reaches the target. The rollout re-integrates the
-    # dynamics, accumulating the per-row constraint defects (eps_rel
-    # against km-scale states) across N steps — so the bound is relative
-    # to the trajectory scale, not absolute.
     states = lt.rollout(spec, s0, sol.x)
     scale = float(jnp.max(jnp.abs(states)))
     assert float(jnp.max(jnp.abs(states[-1]))) < 1e-5 * scale
