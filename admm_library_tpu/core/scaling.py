@@ -71,6 +71,10 @@ class Scaling:
     def scale_y(self, y):
         return (self.c / self.e) * y
 
+    def astype(self, dtype):
+        return Scaling(d=self.d.astype(dtype), e=self.e.astype(dtype),
+                       c=self.c.astype(dtype))
+
 
 def _soc_block_uniform(e_step, cone: ConeSpec):
     """Replace per-row factors inside each SOC block by their geomean."""
@@ -93,6 +97,95 @@ def _soc_block_uniform(e_step, cone: ConeSpec):
             parts.append(jnp.full((d,), g, e_step.dtype))
             off += d
     return jnp.concatenate([head] + parts)
+
+
+def ruiz_equilibrate_blocks(qp_blk: QPData, spec, iters: int):
+    """Block-shared Ruiz equilibration for consensus problems (K4 x P2).
+
+    Computes ONE diagonal scaling (d (nb,), e (mb,), c) jointly over the
+    stacked per-block data (P (Bb, nb, nb), A (Bb, mb, nb)) — max norms
+    reduce over the block axis too — and applies it to every block.
+    A single shared scaling is what keeps the consensus averaging valid:
+    per-block scalings would scale the two copies of a boundary state
+    differently and corrupt the agreement projection (VERDICT r1 item 4).
+
+    Two extra invariances are enforced on e:
+      * SOC blocks of the LOCAL cone stay uniformly scaled (cone
+        geometry, as in `ruiz_equilibrate`);
+      * the left-edge and right-edge row groups get the SAME factors
+        (geometric mean), so the duplicated boundary-state copies of
+        neighboring blocks live on identical scales and their pairwise
+        average remains the exact subspace projection.
+
+    `spec` is a parallel.consensus.ConsensusSpec. Returns
+    (scaled QPData, Scaling). iters=0 -> identity.
+    """
+    nb, mb = spec.nb, spec.mb
+    ml, ns = spec.m_local, spec.ns
+    dtype = qp_blk.dtype
+    if iters <= 0:
+        return qp_blk, Scaling.identity(nb, mb, dtype)
+
+    def safe_inv_sqrt(v):
+        v = jnp.where((v < 1e-10) | ~jnp.isfinite(v), 1.0, v)
+        return 1.0 / jnp.sqrt(v)
+
+    def tie_edges(e_step):
+        local = _soc_block_uniform(e_step[:ml], spec.cone)
+        left = e_step[ml:ml + ns]
+        right = e_step[ml + ns:]
+        g = jnp.sqrt(left * right)
+        return jnp.concatenate([local, g, g])
+
+    def body(_, carry):
+        P, q, A, d, e, c = carry
+        # Joint column norms over (block, row); P is (Bb, nb, nb).
+        nx = jnp.maximum(jnp.max(jnp.abs(P), axis=(0, 1)),
+                         jnp.max(jnp.abs(A), axis=(0, 1)))
+        dx = safe_inv_sqrt(nx)
+        ne = jnp.max(jnp.abs(A), axis=(0, 2))
+        de = tie_edges(safe_inv_sqrt(ne))
+        P = dx[None, :, None] * P * dx[None, None, :]
+        q = dx[None, :] * q
+        A = de[None, :, None] * A * dx[None, None, :]
+        d = d * dx
+        e = e * de
+        gamma = 1.0 / jnp.maximum(
+            jnp.maximum(jnp.mean(jnp.max(jnp.abs(P), axis=(0, 1))),
+                        jnp.max(jnp.abs(q))), 1e-10)
+        P = gamma * P
+        q = gamma * q
+        c = c * gamma
+        return P, q, A, d, e, c
+
+    d0 = jnp.ones(nb, dtype)
+    e0 = jnp.ones(mb, dtype)
+    c0 = jnp.ones((), dtype)
+    P, q, A, d, e, c = jax.lax.fori_loop(
+        0, iters, body, (qp_blk.P, qp_blk.q, qp_blk.A, d0, e0, c0))
+    scaling = Scaling(d=d, e=e, c=c)
+    qps = scale_qp_blocks(qp_blk, scaling, spec)
+    qps = QPData(P=P, q=q, A=A, l=qps.l, u=qps.u, lam=qps.lam,
+                 cone=qp_blk.cone)
+    return qps, scaling
+
+
+def scale_qp_blocks(qp_blk: QPData, scaling: Scaling, spec) -> QPData:
+    """Apply a block-shared Scaling to (possibly scenario-batched) block
+    data: P/q/A/l/u/lam of `qp_blk` with leading block (and scenario)
+    axes. Used by the consensus re-centered rounds, whose correction
+    problems keep the original (P, A) and hence the original factors."""
+    d, e, c = scaling.d, scaling.e, scaling.c
+    mb_box = spec.cone.m_box
+    ml1 = spec.cone.m_l1
+    P = c * (d[:, None] * qp_blk.P * d[None, :])
+    q = c * (d * qp_blk.q)
+    A = e[:, None] * qp_blk.A * d[None, :]
+    l = jnp.where(jnp.isfinite(qp_blk.l), e * qp_blk.l, qp_blk.l)
+    u = jnp.where(jnp.isfinite(qp_blk.u), e * qp_blk.u, qp_blk.u)
+    lam = (c * qp_blk.lam / e[mb_box:mb_box + ml1]
+           if ml1 else qp_blk.lam)
+    return QPData(P=P, q=q, A=A, l=l, u=u, lam=lam, cone=qp_blk.cone)
 
 
 def ruiz_equilibrate(qp: QPData, iters: int):

@@ -59,6 +59,9 @@ class BatchCarry(NamedTuple):
     r_dual: jax.Array       # (B,)
     x_chk: jax.Array
     y_chk: jax.Array
+    alive: jax.Array        # bool: any lane UNSOLVED anywhere (global)
+    hist: jax.Array         # (slots, 3) residual ring buffer
+    hist_ptr: jax.Array
 
 
 def _geomean_masked(v, mask):
@@ -70,7 +73,8 @@ def _geomean_masked(v, mask):
 
 def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
                           x0, z0, y0, backend: str,
-                          band_block: int = 0) -> BatchCarry:
+                          band_block: int = 0,
+                          data_axis: str | None = None) -> BatchCarry:
     """Lockstep batched ADMM with one shared KKT factor.
 
     `qp` carries UNBATCHED P, A and BATCHED (B, m) l, u (and optionally
@@ -78,6 +82,15 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
     rho_bar adapts on the geometric-mean residual ratio of the still-
     active lanes, so the cached factor is refreshed for all lanes at
     once (a per-lane rho would break factor sharing — SURVEY.md A4).
+
+    data_axis: when set, this driver runs INSIDE shard_map over that
+    mesh axis with per-device lane shards — the batch-global quantities
+    (loop liveness, the rho geomean) become psum reductions, and the
+    fused Pallas kernel launches per-device (pallas_call has no SPMD
+    partitioning rule, so this is how the flagship kernel runs on a
+    multi-chip mesh — VERDICT r1 item 2). Collectives are not allowed
+    in a while_loop predicate under shard_map, so liveness is computed
+    in the body and carried (`alive`).
     """
     dtype = qp.dtype
     eq_mask = admm.is_equality_row_shared(qp)
@@ -108,17 +121,42 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
 
     fac0, _ = factor(rho0)
     big = jnp.full((B,), jnp.inf, dtype)
+    slots = max(settings.history, 0)
     carry0 = BatchCarry(
         x=x0, z=z0, y=y0, rho_bar=rho0, fac=fac0,
         it=jnp.int32(0), iters_lane=jnp.zeros((B,), jnp.int32),
         status=jnp.full((B,), _UNSOLVED), r_prim=big, r_dual=big,
-        x_chk=x0, y_chk=y0)
+        x_chk=x0, y_chk=y0, alive=jnp.asarray(True),
+        hist=jnp.full((slots, 3), -1.0, dtype), hist_ptr=jnp.int32(0))
 
     k = settings.check_every
     interval_checks = max(1, settings.adaptive_rho_interval // k)
 
+    def any_global(mask):
+        if data_axis is None:
+            return jnp.any(mask)
+        return jax.lax.psum(
+            jnp.sum(mask.astype(jnp.int32)), data_axis) > 0
+
+    def geomean_global(v, mask):
+        if data_axis is None:
+            return _geomean_masked(v, mask)
+        logv = jnp.where(mask, jnp.log(jnp.maximum(v, 1e-30)), 0.0)
+        tot = jax.lax.psum(jnp.sum(logv), data_axis)
+        cnt = jax.lax.psum(jnp.sum(mask), data_axis)
+        return jnp.exp(tot / jnp.maximum(cnt, 1))
+
+    def max_global(v):
+        if data_axis is None:
+            return jnp.max(v)
+        if v.dtype == jnp.float64 and jax.default_backend() == "tpu":
+            # This stack lowers only Sum all-reduces in f64.
+            return jax.lax.pmax(
+                jnp.max(v).astype(jnp.float32), data_axis).astype(v.dtype)
+        return jax.lax.pmax(jnp.max(v), data_axis)
+
     def cond(c: BatchCarry):
-        return jnp.any(c.status == _UNSOLVED) & (c.it < settings.max_iter)
+        return c.alive & (c.it < settings.max_iter)
 
     def body(c: BatchCarry) -> BatchCarry:
         rho_vec = admm.rho_vec_of(c.rho_bar, eq_mask, settings)
@@ -160,6 +198,7 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
 
         # Shared adaptive rho from the active lanes' geomean ratio.
         rho_bar, fac = c.rho_bar, c.fac
+        still = status == _UNSOLVED
         if settings.adaptive_rho:
             adapt_now = (c.it // k) % interval_checks == (interval_checks - 1)
             tiny = jnp.finfo(dtype).tiny
@@ -167,14 +206,13 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
             sp = res[0] / jnp.maximum(jnp.maximum(nAx, nz), tiny)
             sd = res[1] / jnp.maximum(
                 jnp.maximum(jnp.maximum(nPx, nAty), nq), tiny)
-            still = status == _UNSOLVED
-            ratio = jnp.sqrt(_geomean_masked(sp, still)
-                             / jnp.maximum(_geomean_masked(sd, still), tiny))
+            ratio = jnp.sqrt(geomean_global(sp, still)
+                             / jnp.maximum(geomean_global(sd, still), tiny))
             new_rho = jnp.clip(
                 rho_bar * ratio, settings.rho_min, settings.rho_max)
             tol = settings.adaptive_rho_tol
             changed = (ratio > tol) | (ratio < 1.0 / tol)
-            do = adapt_now & changed & jnp.any(still)
+            do = adapt_now & changed & any_global(still)
             if backend == "cg":
                 rho_bar = jnp.where(do, new_rho, rho_bar)
                 rv = admm.rho_vec_of(rho_bar, eq_mask, settings)
@@ -184,10 +222,21 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
                     do, lambda r: factor(r)[0], lambda r: fac, new_rho)
                 rho_bar = jnp.where(do, new_rho, rho_bar)
 
+        alive = any_global(still)
+        if slots > 0:
+            entry = jnp.stack([it.astype(dtype), max_global(r_prim),
+                               max_global(r_dual)])
+            hist = jax.lax.dynamic_update_slice(
+                c.hist, entry[None, :], (c.hist_ptr % slots, jnp.int32(0)))
+            hist_ptr = c.hist_ptr + 1
+        else:
+            hist, hist_ptr = c.hist, c.hist_ptr
+
         return BatchCarry(
             x=x, z=z, y=y, rho_bar=rho_bar, fac=fac, it=it,
             iters_lane=iters_lane, status=status,
-            r_prim=r_prim, r_dual=r_dual, x_chk=x, y_chk=y)
+            r_prim=r_prim, r_dual=r_dual, x_chk=x, y_chk=y,
+            alive=alive, hist=hist, hist_ptr=hist_ptr)
 
     final = jax.lax.while_loop(cond, body, carry0)
     status = jnp.where(
@@ -196,13 +245,14 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
     return final._replace(status=status)
 
 
-def _phase(qp, x0, z0, y0, settings, backend):
+def _phase(qp, x0, z0, y0, settings, backend, mesh=None, axis="data"):
     # Exact-f32 dots throughout (TPU default precision diverges; xprec).
     with xprec.highest():
-        return _phase_inner(qp, x0, z0, y0, settings, backend)
+        return _phase_inner(qp, x0, z0, y0, settings, backend, mesh, axis)
 
 
-def _phase_inner(qp, x0, z0, y0, settings, backend):
+def _phase_inner(qp, x0, z0, y0, settings, backend, mesh=None,
+                 axis="data"):
     qps, scaling = ruiz_equilibrate(qp, settings.scaling_iters)
     if settings.warm_start:
         xs = scaling.scale_x(x0)
@@ -210,17 +260,52 @@ def _phase_inner(qp, x0, z0, y0, settings, backend):
         ys = scaling.scale_y(y0)
     else:
         xs, zs, ys = x0, z0, y0
-    carry = run_admm_batch_shared(
-        qps, scaling, settings, xs, zs, ys, backend,
-        band_block=settings.band_block)
-    x = scaling.unscale_x(carry.x)
-    z = scaling.unscale_z(carry.z)
-    y = scaling.unscale_y(carry.y)
-    hist = jnp.zeros((0, 3), qp.dtype)
+    if mesh is not None and mesh.shape[axis] > 1:
+        # Multi-device: run the whole lockstep driver INSIDE shard_map —
+        # per-device lane shards, device-local KKT factor and (fused
+        # Pallas) iteration kernel, psum only for the loop liveness and
+        # the shared-rho geomean (VERDICT r1 item 2: this is what makes
+        # pallas_call run on a sharded mesh).
+        PA = P(axis)
+
+        def lspec(leaf, base_ndim):
+            return PA if leaf.ndim > base_ndim else P()
+
+        qp_specs = QPData(
+            P=lspec(qps.P, 2), q=lspec(qps.q, 1), A=lspec(qps.A, 2),
+            l=lspec(qps.l, 1), u=lspec(qps.u, 1), lam=lspec(qps.lam, 1),
+            cone=qps.cone)
+        scal_specs = jax.tree.map(lambda _: P(), scaling)
+
+        def device_fn(qp_loc, scal, xs_, zs_, ys_):
+            c = run_admm_batch_shared(
+                qp_loc, scal, settings, xs_, zs_, ys_, backend,
+                band_block=settings.band_block, data_axis=axis)
+            return (c.x, c.z, c.y, c.rho_bar, c.iters_lane, c.status,
+                    c.r_prim, c.r_dual, c.hist)
+
+        fn = jax.shard_map(
+            device_fn, mesh=mesh,
+            in_specs=(qp_specs, scal_specs, PA, PA, PA),
+            out_specs=(PA, PA, PA, P(), PA, PA, PA, PA, P()),
+            check_vma=False)
+        (cx, cz, cy, rho_bar, iters_lane, status, r_prim, r_dual,
+         hist) = fn(qps, scaling, xs, zs, ys)
+    else:
+        carry = run_admm_batch_shared(
+            qps, scaling, settings, xs, zs, ys, backend,
+            band_block=settings.band_block)
+        cx, cz, cy = carry.x, carry.z, carry.y
+        rho_bar, iters_lane, status = (carry.rho_bar, carry.iters_lane,
+                                       carry.status)
+        r_prim, r_dual, hist = carry.r_prim, carry.r_dual, carry.hist
+    x = scaling.unscale_x(cx)
+    z = scaling.unscale_z(cz)
+    y = scaling.unscale_y(cy)
     return Solution(
-        x=x, z=z, y=y, status=carry.status, iters=carry.iters_lane,
-        r_prim=carry.r_prim, r_dual=carry.r_dual,
-        obj=objective(qp, x, z), rho=carry.rho_bar, history=hist)
+        x=x, z=z, y=y, status=status, iters=iters_lane,
+        r_prim=r_prim, r_dual=r_dual,
+        obj=objective(qp, x, z), rho=rho_bar, history=hist)
 
 
 def _s32_of_shared(settings: Settings) -> Settings:
@@ -239,7 +324,7 @@ def _clean64(v):
 
 
 def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
-                             backend: str):
+                             backend: str, mesh=None, axis="data"):
     """Hybrid precision via f32 re-centering (box/equality cones only).
 
     Round 0 solves in f32 to the f32 residual plateau (~1e-4 .. 1e-5 on
@@ -263,7 +348,7 @@ def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
     s1 = _s32_of_shared(settings)
     qp64 = qp.astype(f64)
     sol = _phase(qp.astype(f32), x0.astype(f32), z0.astype(f32),
-                 y0.astype(f32), s1, backend)
+                 y0.astype(f32), s1, backend, mesh, axis)
     p1_inf = (sol.status == _PINF) | (sol.status == _DINF)
     x_t = _clean64(sol.x)
     y_t = _clean64(sol.y)
@@ -293,7 +378,7 @@ def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
             lam=qp.lam.astype(f32), cone=qp.cone)
         zc0 = (z_t64 - Ax).astype(f32)
         solc = _phase(qp_c, jnp.zeros((B, qp.n), f32), zc0,
-                      y_t.astype(f32), s_c, backend)
+                      y_t.astype(f32), s_c, backend, mesh, axis)
         x_t = x_t + _clean64(solc.x)
         y_t = _clean64(solc.y)
         z_t64 = Ax + _clean64(solc.z)     # z_total ∈ C by construction
@@ -337,7 +422,7 @@ def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
         status=status, iters=iters,
         r_prim=r_p.astype(d), r_dual=r_d.astype(d),
         obj=objective(qp64, x_t, z_t).astype(d), rho=rho.astype(d),
-        history=jnp.zeros((0, 3), d))
+        history=sol.history.astype(d))
 
     # Emulated-f64 fallback for eps targets below the f32 dual floor
     # (~1e-7 * scale: the rounds re-derive duals in f32). lax.cond
@@ -348,7 +433,7 @@ def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
 
     def run64(args):
         x_w, z_w, y_w = args
-        sol64 = _phase(qp64, x_w, z_w, y_w, s64, backend)
+        sol64 = _phase(qp64, x_w, z_w, y_w, s64, backend, mesh, axis)
         return Solution(
             x=sol64.x.astype(d), z=sol64.z.astype(d),
             y=sol64.y.astype(d),
@@ -356,7 +441,7 @@ def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
             iters=iters + sol64.iters,
             r_prim=sol64.r_prim.astype(d), r_dual=sol64.r_dual.astype(d),
             obj=sol64.obj.astype(d), rho=sol64.rho.astype(d),
-            history=jnp.zeros((0, 3), d))
+            history=sol64.history.astype(d))
 
     def keep(args):
         return rec
@@ -365,31 +450,34 @@ def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
         jnp.any(~solved & ~p1_inf), run64, keep, (x_t, z_t, y_t))
 
 
-def _solve_shared_core(qp, x0, z0, y0, settings: Settings, backend: str):
+def _solve_shared_core(qp, x0, z0, y0, settings: Settings, backend: str,
+                       mesh=None, axis="data"):
     precision = settings.precision
     if precision == "hybrid" and not jax.config.jax_enable_x64:
         precision = "single"
     if precision == "single":
-        return _phase(qp, x0, z0, y0, settings, backend)
+        return _phase(qp, x0, z0, y0, settings, backend, mesh, axis)
     if precision == "double":
         f = jnp.float64
         return _phase(qp.astype(f), x0.astype(f), z0.astype(f),
-                      y0.astype(f), settings, backend)
+                      y0.astype(f), settings, backend, mesh, axis)
     # hybrid: f32 re-centering when the cone shifts affinely (box /
     # equality rows only); otherwise the f32 -> emulated-f64 two-phase.
     if (qp.cone.m_l1 == 0 and qp.cone.m_soc == 0
             and settings.recenter_rounds > 0):
-        return _solve_shared_recentered(qp, x0, z0, y0, settings, backend)
+        return _solve_shared_recentered(qp, x0, z0, y0, settings, backend,
+                                        mesh, axis)
     s32 = _s32_of_shared(settings)
     f32, f64 = jnp.float32, jnp.float64
     sol32 = _phase(qp.astype(f32), x0.astype(f32), z0.astype(f32),
-                   y0.astype(f32), s32, backend)
+                   y0.astype(f32), s32, backend, mesh, axis)
     s64 = settings.replace(precision="single", warm_start=True)
 
     clean = _clean64
 
     sol64 = _phase(qp.astype(f64), clean(sol32.x),
-                   clean(sol32.z), clean(sol32.y), s64, backend)
+                   clean(sol32.z), clean(sol32.y), s64, backend, mesh,
+                   axis)
     p1_inf = (sol32.status == _PINF) | (sol32.status == _DINF)
     status = jnp.where(p1_inf, sol32.status, sol64.status)
     d = qp.dtype
@@ -401,9 +489,11 @@ def _solve_shared_core(qp, x0, z0, y0, settings: Settings, backend: str):
         history=sol64.history)
 
 
-@partial(jax.jit, static_argnames=("settings", "backend"))
-def _solve_shared_jit(qp, x0, z0, y0, settings, backend):
-    return _solve_shared_core(qp, x0, z0, y0, settings, backend)
+@partial(jax.jit, static_argnames=("settings", "backend", "mesh", "axis"))
+def _solve_shared_jit(qp, x0, z0, y0, settings, backend, mesh=None,
+                      axis="data"):
+    return _solve_shared_core(qp, x0, z0, y0, settings, backend, mesh,
+                              axis)
 
 
 def solve_batch_shared(qp: QPData, settings: Settings = Settings(),
@@ -427,15 +517,18 @@ def solve_batch_shared(qp: QPData, settings: Settings = Settings(),
     if y0 is None:
         y0 = jnp.zeros_like(z0)
     backend = resolve_backend(settings, qp_n=n)
-    # pallas_call has no SPMD partitioning rule: when the batch is laid
-    # out across devices (shard_batch), fall back to the XLA iteration
-    # body, which partitions cleanly along the data axis.
+    # Multi-device batches run the driver under shard_map (per-device
+    # fused Pallas kernel + psum liveness); recover (mesh, axis) from
+    # the batch sharding laid down by shard_batch.
+    mesh, axis = None, "data"
     try:
-        sharded = isinstance(qp.l, jax.Array) and len(qp.l.devices()) > 1
+        sh = qp.l.sharding
+        if (isinstance(sh, NamedSharding) and len(qp.l.devices()) > 1
+                and sh.spec and sh.spec[0] is not None):
+            mesh, axis = sh.mesh, sh.spec[0]
     except Exception:
-        sharded = False
-    if sharded and settings.fused != "off":
-        settings = settings.replace(fused="off")
+        mesh = None
+    sharded = mesh is not None
     from ..utils import aot
     if aot.enabled() and not sharded:
         import dataclasses
@@ -443,7 +536,8 @@ def solve_batch_shared(qp: QPData, settings: Settings = Settings(),
             "batch_shared",
             {"settings": dataclasses.asdict(settings), "backend": backend},
             (qp, x0, z0, y0))
-    return _solve_shared_jit(qp, x0, z0, y0, settings, backend)
+    return _solve_shared_jit(qp, x0, z0, y0, settings, backend, mesh,
+                             axis)
 
 
 def make_data_mesh(n_devices: int | None = None,

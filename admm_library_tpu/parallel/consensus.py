@@ -32,10 +32,20 @@ Global end conditions close the recursion: block 0's left-edge rows are
 an ordinary equality to s0, block B-1's right-edge rows an equality to
 s_target (selected by masks, so the per-block program stays uniform SPMD).
 
-Scaling note: Ruiz equilibration is intentionally NOT applied here —
-per-block diagonal scalings would scale the two copies of a boundary
-state differently and corrupt the averaging projection. Builders
-normalise units instead (see partition_mpc).
+Scaling: ONE block-shared Ruiz equilibration (core.scaling.
+ruiz_equilibrate_blocks) is computed jointly over all blocks, with the
+left/right edge-row factors tied so the duplicated boundary copies live
+on identical scales — the averaging projection stays exact. Residuals
+and termination are evaluated on UNSCALED quantities.
+
+Precision: the default 'hybrid' runs every hot iteration in f32 and
+closes the gap to the target eps with RE-CENTERED f32 refinement rounds
+(the same trick as parallel/batch.py): each round re-solves the SAME
+block problem with data shifted around the accumulated (x, y) — the
+consensus averaging is a linear-subspace projection, which shifts
+affinely, so the rounds handle the agreement rows exactly via a z-space
+offset. No f64 iteration phase runs (TPU f64 is XLA-emulated AND this
+stack cannot lower f64 Max all-reduces at all).
 """
 from __future__ import annotations
 
@@ -51,6 +61,8 @@ from jax import shard_map
 
 from ..ops import kkt
 from .. import xprec
+from ..core.scaling import (Scaling, ruiz_equilibrate_blocks,
+                            scale_qp_blocks)
 from ..ops.prox import project_cone
 from ..problem import ConeSpec, QPData
 from ..settings import Settings
@@ -94,6 +106,8 @@ class ConsensusCarry(NamedTuple):
     status: jax.Array       # scalar (global)
     r_prim: jax.Array
     r_dual: jax.Array
+    hist: jax.Array         # (slots, 3) residual ring buffer
+    hist_ptr: jax.Array
 
 
 def _neighbor_prev(v_edge, axis: str):
@@ -120,18 +134,28 @@ def _neighbor_next(v_edge, axis: str):
         [v_edge[..., 1:, :], from_next_dev], axis=-2)
 
 
+def _pmax(v, axis: str):
+    """Cross-device max. This TPU stack lowers only Sum all-reduces in
+    f64 (Max is rejected by the AOT compiler), so f64 reductions ride a
+    f32 pmax — a 2^-24 relative rounding on a termination threshold."""
+    if v.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        return jax.lax.pmax(v.astype(jnp.float32), axis).astype(v.dtype)
+    return jax.lax.pmax(v, axis)
+
+
 def _linf_global(v, axis: str):
-    return jax.lax.pmax(jnp.max(jnp.abs(v)), axis)
+    return _pmax(jnp.max(jnp.abs(v)), axis)
 
 
 def _linf_scen(v, axis: str):
     """Per-scenario inf-norm: max over the trailing (blocks, rows) axes
     locally, then pmax over the horizon mesh axis."""
-    return jax.lax.pmax(jnp.max(jnp.abs(v), axis=(-2, -1)), axis)
+    return _pmax(jnp.max(jnp.abs(v), axis=(-2, -1)), axis)
 
 
 def consensus_body(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
-                   axis: str, block_ids, fac, x, z, y, rho_vec, backend):
+                   axis: str, block_ids, fac, x, z, y, rho_vec, backend,
+                   z_off=None):
     """One consensus-ADMM iteration on this device's S blocks.
 
     block_ids: (S,) global indices of the local blocks (for end masks).
@@ -139,6 +163,13 @@ def consensus_body(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
     leading scenario axis (B, S, .) — all ops broadcast over it; the
     per-block data (P, A, q, factor, rho_vec) stay shared across
     scenarios (the Monte-Carlo shape: dispersions enter only l/u).
+
+    z_off: optional (..., mb) SCALED re-centering offset (= A x_prev of
+    the outer iterate). Local box rows shift through the bounds (the
+    caller passes l/u already shifted); the agreement rows shift through
+    this offset: the correction's consensus set is {z_c : z_c + off in
+    agreement}, an affine subspace whose projection is
+    avg((v + off) pairs) - off.
     """
     ml, ns = spec.m_local, spec.ns
     a = settings.alpha
@@ -167,11 +198,21 @@ def consensus_body(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
         v_loc, qp_blk.l[..., :ml], qp_blk.u[..., :ml], lam_over_rho, cone)
 
     # Consensus averaging with neighbors; global ends clamp to the
-    # equality bounds stored in l(==u) of the edge rows.
+    # equality bounds stored in l(==u) of the edge rows. Under
+    # re-centering the averaging happens in total coordinates (v + off)
+    # and the offset is subtracted back out.
+    if z_off is not None:
+        off_left = z_off[..., ml:ml + ns]
+        off_right = z_off[..., ml + ns:]
+        v_left = v_left + off_left
+        v_right = v_right + off_right
     right_prev = _neighbor_prev(v_right, axis)      # block s-1's right edge
     left_next = _neighbor_next(v_left, axis)        # block s+1's left edge
     avg_left = 0.5 * (v_left + right_prev)
     avg_right = 0.5 * (v_right + left_next)
+    if z_off is not None:
+        avg_left = avg_left - off_left
+        avg_right = avg_right - off_right
     l_left = qp_blk.l[..., ml:ml + ns]
     l_right = qp_blk.l[..., ml + ns:]
     z_left = jnp.where(is_first, l_left, avg_left)
@@ -183,13 +224,17 @@ def consensus_body(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
 
 
 def run_consensus(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
-                  axis: str, block_ids, x0, z0, y0,
-                  backend: str) -> ConsensusCarry:
+                  axis: str, block_ids, x0, z0, y0, backend: str,
+                  scaling_vecs, z_off=None, rho0=None) -> ConsensusCarry:
     """Device-local driver (runs INSIDE shard_map). Lockstep while_loop;
     the predicate uses pmax-reduced global residuals so every device
-    iterates identically."""
+    iterates identically. scaling_vecs = (d, e, c) of the block-shared
+    Ruiz scaling; residuals/termination are computed UNSCALED."""
     dtype = qp_blk.dtype
     ml, ns = spec.m_local, spec.ns
+    d_s, e_s, c_s = scaling_vecs
+    einv = 1.0 / e_s
+    cd_inv = 1.0 / (c_s * d_s)
 
     # Equality boost: local box rows with l == u, plus ALL edge rows
     # (consensus/agreement rows are equality-like).
@@ -199,7 +244,8 @@ def run_consensus(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
     edge = idx[None, :] >= ml
     eq_mask = box_eq | edge
 
-    rho0 = jnp.asarray(settings.rho, dtype)
+    rho0 = (jnp.asarray(settings.rho, dtype) if rho0 is None
+            else rho0.astype(dtype))
 
     def rho_vec_of(rho_bar):
         return jnp.where(eq_mask, settings.rho_eq_scale * rho_bar, rho_bar)
@@ -212,9 +258,11 @@ def run_consensus(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
 
     fac0, _ = factor(rho0)
     big = jnp.asarray(jnp.inf, dtype)
+    slots = max(settings.history, 0)
     carry0 = ConsensusCarry(
         x=x0, z=z0, y=y0, rho_bar=rho0, fac=fac0, it=jnp.int32(0),
-        status=_UNSOLVED, r_prim=big, r_dual=big)
+        status=_UNSOLVED, r_prim=big, r_dual=big,
+        hist=jnp.full((slots, 3), -1.0, dtype), hist_ptr=jnp.int32(0))
 
     k = settings.check_every
     interval_checks = max(1, settings.adaptive_rho_interval // k)
@@ -228,7 +276,7 @@ def run_consensus(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
         def inner(_, xyz):
             return consensus_body(
                 qp_blk, spec, settings, axis, block_ids, c.fac,
-                *xyz, rho_vec, backend)
+                *xyz, rho_vec, backend, z_off=z_off)
 
         x, z, y = jax.lax.fori_loop(0, k, inner, (c.x, c.z, c.y))
         it = c.it + k
@@ -236,18 +284,21 @@ def run_consensus(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
         Ax = xprec.einsum("sij,sj->si", qp_blk.A, x)
         Px = xprec.einsum("sij,sj->si", qp_blk.P, x)
         Aty = xprec.einsum("sji,sj->si", qp_blk.A, y)
-        r_prim = _linf_global(Ax - z, axis)
-        r_dual = _linf_global(Px + qp_blk.q + Aty, axis)
-        nAx = _linf_global(Ax, axis)
-        nz = _linf_global(z, axis)
-        nPx = _linf_global(Px, axis)
-        nAty = _linf_global(Aty, axis)
-        nq = _linf_global(qp_blk.q, axis)
+        r_prim = _linf_global(einv * (Ax - z), axis)
+        r_dual = _linf_global(cd_inv * (Px + qp_blk.q + Aty), axis)
+        nAx = _linf_global(einv * Ax, axis)
+        nz = _linf_global(einv * z, axis)
+        nPx = _linf_global(cd_inv * Px, axis)
+        nAty = _linf_global(cd_inv * Aty, axis)
+        nq = _linf_global(cd_inv * qp_blk.q, axis)
         eps_p = settings.eps_abs + settings.eps_rel * jnp.maximum(nAx, nz)
         eps_d = settings.eps_abs + settings.eps_rel * jnp.maximum(
             jnp.maximum(nPx, nAty), nq)
         solved = (r_prim <= eps_p) & (r_dual <= eps_d)
-        status = jnp.where(solved, _SOLVED, _UNSOLVED)
+        numerr = ~(jnp.isfinite(r_prim) & jnp.isfinite(r_dual))
+        status = jnp.where(
+            numerr, jnp.int32(int(Status.NUMERICAL_ERROR)),
+            jnp.where(solved, _SOLVED, _UNSOLVED))
 
         rho_bar, fac = c.rho_bar, c.fac
         if settings.adaptive_rho:
@@ -270,9 +321,17 @@ def run_consensus(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
                     do, lambda r: factor(r)[0], lambda r: fac, new_rho)
                 rho_bar = jnp.where(do, new_rho, rho_bar)
 
+        if slots > 0:
+            entry = jnp.stack([it.astype(dtype), r_prim, r_dual])
+            hist = jax.lax.dynamic_update_slice(
+                c.hist, entry[None, :], (c.hist_ptr % slots, jnp.int32(0)))
+            hist_ptr = c.hist_ptr + 1
+        else:
+            hist, hist_ptr = c.hist, c.hist_ptr
+
         return ConsensusCarry(
             x=x, z=z, y=y, rho_bar=rho_bar, fac=fac, it=it, status=status,
-            r_prim=r_prim, r_dual=r_dual)
+            r_prim=r_prim, r_dual=r_dual, hist=hist, hist_ptr=hist_ptr)
 
     final = jax.lax.while_loop(cond, body, carry0)
     status = jnp.where(
@@ -282,7 +341,9 @@ def run_consensus(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
 
 
 class ConsensusSolution(NamedTuple):
-    """Result of a consensus solve; x/z/y keep the (B, .) block layout."""
+    """Result of a consensus solve; x/z/y keep the (B, .) block layout
+    and are UNSCALED. history is the (slots, 3) residual ring buffer
+    [(iter, r_prim, r_dual)] when settings.history > 0."""
 
     x: jax.Array
     z: jax.Array
@@ -292,17 +353,240 @@ class ConsensusSolution(NamedTuple):
     r_prim: jax.Array
     r_dual: jax.Array
     rho: jax.Array
+    history: jax.Array
+
+
+@partial(jax.jit, static_argnames=("spec", "settings", "axis", "backend",
+                                   "mesh", "has_off"))
+def _phase_jit(qp_blk, x0, z0, y0, z_off, rho0, scaling, spec, settings,
+               axis, backend, mesh, has_off):
+    """Jitted phase: scale warm starts, run the shard_map'd device loop,
+    unscale outputs. Module-level jit => retraces only per (shapes,
+    settings, mesh) combination, so staged drivers and benches reuse the
+    compiled program across phases/rounds."""
+    B = spec.n_blocks
+    dtype = qp_blk.dtype
+    block_ids = jnp.arange(B, dtype=jnp.int32)
+    d_s = scaling.d.astype(dtype)
+    e_s = scaling.e.astype(dtype)
+    c_s = scaling.c.astype(dtype)
+
+    xs = (x0 / d_s).astype(dtype)
+    zs = (e_s * z0).astype(dtype)
+    ys = ((c_s / e_s) * y0).astype(dtype)
+    offs = (e_s * z_off).astype(dtype) if has_off else jnp.zeros(
+        (), dtype)
+
+    def device_fn(qp_loc, ids, x, z, y, d_v, e_v, c_v, off, r0):
+        carry = run_consensus(
+            qp_loc, spec, settings, axis, ids, x, z, y, backend,
+            (d_v, e_v, c_v), z_off=(off if has_off else None), rho0=r0)
+        return (carry.x, carry.z, carry.y, carry.status, carry.it,
+                carry.r_prim, carry.r_dual, carry.rho_bar, carry.hist)
+
+    PH = P(axis)
+    off_spec = PH if has_off else P()
+    sharded = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: PH, qp_blk),
+                  PH, PH, PH, PH, P(), P(), P(), off_spec, P()),
+        out_specs=(PH, PH, PH, P(), P(), P(), P(), P(), P()),
+        check_vma=False)
+    with xprec.highest():
+        x, z, y, status, it, rp, rd, rho, hist = sharded(
+            qp_blk, block_ids, xs, zs, ys, d_s, e_s, c_s, offs, rho0)
+    return (d_s * x, z / e_s, (e_s / c_s) * y, status, it, rp, rd, rho,
+            hist)
+
+
+def _consensus_phase(qp_blk: QPData, spec: ConsensusSpec, mesh: Mesh,
+                     settings: Settings, axis: str, scaling: Scaling,
+                     backend: str, x0, z0, y0, z_off=None, rho0=None
+                     ) -> ConsensusSolution:
+    """One scaled solve phase over the mesh. Inputs and outputs are
+    UNSCALED; `qp_blk` is the scaled problem, `scaling` its factors.
+    rho0: optional traced initial penalty (warm rho across phases)."""
+    has_off = z_off is not None
+    if z_off is None:
+        z_off = jnp.zeros((), qp_blk.dtype)
+    if rho0 is None:
+        rho0 = jnp.asarray(settings.rho, qp_blk.dtype)
+    out = _phase_jit(qp_blk, x0, z0, y0, z_off, rho0, scaling, spec,
+                     settings, axis, backend, mesh, has_off)
+    x, z, y, status, it, rp, rd, rho, hist = out
+    return ConsensusSolution(
+        x=x, z=z, y=y, status=status,
+        iters=it, r_prim=rp, r_dual=rd, rho=rho, history=hist)
+
+
+def recentered_rounds_blocks(qp_blk: QPData, spec: ConsensusSpec,
+                             settings: Settings, sol32, phase_fn):
+    """Re-centered f32 refinement rounds for box-cone consensus problems
+    (cf. parallel/batch._solve_shared_recentered; VERDICT r1 item 4).
+    Shared by consensus_solve and consensus_solve_mc — sol32 only needs
+    .x/.y/.z/.iters fields; any leading scenario axis broadcasts.
+
+    Each round re-solves the SAME block problem with f64-shifted data:
+    bounds shift by Ax on finite rows; the agreement rows shift exactly
+    via the z-space offset (consensus averaging is a linear-subspace
+    projection — it shifts affinely); and BOTH primal and dual are
+    re-centered: the correction's linear term is the true dual residual
+
+        g_c = P x + q + A' y_base,
+
+    with y_base the accumulated dual MASKED to active/equality/agreement
+    rows (strictly-inactive rows get exact-0 duals, so complementarity
+    junk cannot accumulate across rounds — the failure mode documented
+    in api._recentered_rounds when duals are summed). The correction
+    solves for the dual CORRECTION dy, warm-started at 0, and the total
+    dual is y_base + dy. Dual re-centering is what beats the f32 dual
+    floor: with full dual replacement the correction's stationarity must
+    cancel an O(|Px+q|) linear term to eps in f32 (floor ~6e-8*|g|;
+    measured 2.5e-6 on the MPC set), whereas here every correction
+    quantity is O(residual) — f32 carries ~1e-12 absolute at that scale,
+    so eps 1e-8 is reachable with ZERO f64 iterations.
+
+    Host-synced round loop (these drivers are staged, like api.solve).
+
+    Returns (x, z, y, status, iters, r_p, r_d) in f64.
+    """
+    f32, f64 = jnp.float32, jnp.float64
+    qp64 = qp_blk.astype(f64)
+    ml = spec.m_local
+
+    def clean(v):
+        v = v.astype(f64)
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
+    x_t, y_t, z_t = clean(sol32.x), clean(sol32.y), clean(sol32.z)
+    iters = sol32.iters
+    rho_w = sol32.rho                   # phase-1's adapted rho: the
+    # correction shares the original's curvature, so starting there
+    # saves the rho random-walk (measured 8350 -> ~1500 iters/round).
+    # No recenter_max_iter cap here: api.solve's cap exists because its
+    # staged polish usually lands from a partial round; consensus has no
+    # polish stage, so a truncated round just returns a worse iterate.
+    # With dual re-centering the round criterion is reachable in f32, so
+    # rounds terminate on convergence, not on the cap.
+    s_c = settings.replace(
+        precision="single",
+        sigma=max(settings.sigma, 1e-5),
+        rho_eq_scale=min(settings.rho_eq_scale, 1e2))
+
+    # Active-set mask for the dual baseline: edge rows are equality-like
+    # (dual unconstrained — always kept); local rows keep their dual
+    # only within act_tol of a bound. The tolerance must exceed the
+    # phase-1 primal resolution (hybrid_eps); rows near-active within it
+    # carry near-zero phase-1 duals anyway, so kept junk is harmless.
+    edge = jnp.arange(spec.mb) >= ml
+    act_tol = 10.0 * max(settings.hybrid_eps, settings.eps_abs)
+
+    def mask_dual(y, z):
+        scale = 1.0 + jnp.abs(z)
+        near_l = jnp.where(jnp.isfinite(qp64.l),
+                           z - qp64.l <= act_tol * scale, False)
+        near_u = jnp.where(jnp.isfinite(qp64.u),
+                           qp64.u - z <= act_tol * scale, False)
+        return jnp.where(near_l | near_u | edge, y, 0.0)
+
+    def true_resid(x_t, y_t, z_t):
+        Ax = xprec.einsum("...ij,...j->...i", qp64.A, x_t)
+        Px = xprec.einsum("...ij,...j->...i", qp64.P, x_t)
+        Aty = xprec.einsum("...ji,...j->...i", qp64.A, y_t)
+        # Global norms over (blocks, rows) — plain ops outside shard_map;
+        # XLA inserts the reductions (keeps any scenario axis).
+        linf = lambda v: jnp.max(jnp.abs(v), axis=(-2, -1))
+        r_p = linf(Ax - z_t)
+        r_d = linf(Px + qp64.q + Aty)
+        eps_p = settings.eps_abs + settings.eps_rel * jnp.maximum(
+            linf(Ax), linf(z_t))
+        eps_d = settings.eps_abs + settings.eps_rel * jnp.maximum(
+            jnp.maximum(linf(Px), linf(Aty)),
+            jnp.max(jnp.abs(qp64.q)))
+        solved = (r_p <= eps_p) & (r_d <= eps_d)
+        return Ax, Px, r_p, r_d, solved
+
+    solved_all = False
+    r_p = r_d = solved = None
+    for _ in range(max(settings.recenter_rounds, 0)):
+        y_t = mask_dual(y_t, z_t)
+        Ax, Px, r_p, r_d, solved = true_resid(x_t, y_t, z_t)
+        solved_all = bool(jnp.all(solved))          # host sync per round
+        if solved_all:
+            break
+        Aty = xprec.einsum("...ji,...j->...i", qp64.A, y_t)
+        g = Px + qp64.q + Aty                       # O(residual) linear term
+        l_c = jnp.where(jnp.isfinite(qp64.l), qp64.l - Ax, qp64.l)
+        u_c = jnp.where(jnp.isfinite(qp64.u), qp64.u - Ax, qp64.u)
+        qp_c = QPData(
+            P=qp_blk.P.astype(f32), q=g.astype(f32),
+            A=qp_blk.A.astype(f32), l=l_c.astype(f32),
+            u=u_c.astype(f32), lam=qp_blk.lam.astype(f32),
+            cone=qp_blk.cone)
+        # Offsets only matter on the agreement rows (local box rows
+        # shift through the bounds). The averaging uses only the
+        # DIFFERENCE of the pair offsets (z_R = mean + (off_L-off_R)/2),
+        # so pass the pair-ANTISYMMETRIZED part: off'_R(b) = -off'_L(b+1)
+        # = (Ax_R(b) - Ax_L(b+1))/2. Mathematically identical to raw Ax
+        # offsets, numerically decisive: raw Ax is O(1) boundary state
+        # whose f32 rounding (~6e-8) poisons the agreement constraint (a
+        # measured 1e-7 primal plateau); the antisymmetric part is
+        # O(current disagreement) ~ r_p, f32-exact to ~1e-11. End-block
+        # outer edges are equality rows (offset masked by is_first/last).
+        AxL = Ax[..., ml:ml + spec.ns]
+        AxR = Ax[..., ml + spec.ns:]
+        delta = AxL[..., 1:, :] - AxR[..., :-1, :]   # pair gaps (Bb-1,)
+        zpad = jnp.zeros_like(delta[..., :1, :])
+        off_L = jnp.concatenate([zpad, 0.5 * delta], axis=-2)
+        off_R = jnp.concatenate([-0.5 * delta, zpad], axis=-2)
+        off = jnp.concatenate(
+            [jnp.zeros_like(Ax[..., :ml]), off_L, off_R], axis=-1)
+        solc = phase_fn(
+            qp_c, s_c, jnp.zeros_like(x_t, dtype=f32),
+            (z_t - Ax).astype(f32), jnp.zeros_like(y_t, dtype=f32),
+            off.astype(f32), rho_w.astype(f32))
+        rho_w = solc.rho                # warm rho into the next round
+        x_t = x_t + clean(solc.x)
+        y_t = y_t + clean(solc.y)       # dual CORRECTION on masked base
+        z_t = Ax + clean(solc.z)
+        iters = iters + solc.iters
+    if not solved_all:
+        y_t = mask_dual(y_t, z_t)
+        _, _, r_p, r_d, solved = true_resid(x_t, y_t, z_t)
+    status = jnp.where(
+        solved, _SOLVED, jnp.int32(int(Status.MAX_ITER)))
+    return x_t, z_t, y_t, status, iters, r_p, r_d
+
+
+def _recentered_consensus(qp_blk: QPData, spec: ConsensusSpec, mesh: Mesh,
+                          settings: Settings, axis: str, scaling: Scaling,
+                          backend: str, sol32: ConsensusSolution,
+                          phase_fn):
+    x_t, z_t, y_t, status, iters, r_p, r_d = recentered_rounds_blocks(
+        qp_blk, spec, settings, sol32, phase_fn)
+    dtype = qp_blk.dtype
+    return ConsensusSolution(
+        x=x_t.astype(dtype), z=z_t.astype(dtype), y=y_t.astype(dtype),
+        status=status, iters=iters,
+        r_prim=r_p.astype(dtype), r_dual=r_d.astype(dtype),
+        rho=sol32.rho, history=sol32.history)
 
 
 def consensus_solve(qp_blk: QPData, spec: ConsensusSpec, mesh: Mesh,
                     settings: Settings = Settings(),
+                    x0=None, z0=None, y0=None, rho0=None,
                     axis: str = "horizon") -> ConsensusSolution:
     """Solve a block-partitioned problem over a 1-D device mesh (P2).
 
     qp_blk: per-block problem data stacked on a leading (B,) axis — P
     (B, nb, nb), A (B, mb, nb), q/l/u accordingly (rows per the
     ConsensusSpec layout). B must be divisible by the mesh axis size.
-    Hybrid precision follows settings.precision exactly like `solve`.
+    Optional UNSCALED (x0, z0, y0) warm start in the (B, .) block layout
+    and rho0 penalty warm start (A5 — also the elastic-recovery resume
+    path; pass the previous Solution's .rho: a warm iterate with a cold
+    rho makes the refinement rounds re-run the rho random walk). Hybrid
+    precision runs f32 iterations + re-centered refinement (box cones;
+    no f64 loop).
     """
     B = spec.n_blocks
     ndev = mesh.shape[axis]
@@ -310,47 +594,42 @@ def consensus_solve(qp_blk: QPData, spec: ConsensusSpec, mesh: Mesh,
         raise ValueError(f"n_blocks={B} not divisible by mesh axis {ndev}")
     backend = "chol" if settings.backend == "auto" else settings.backend
 
-    blk_sharding = NamedSharding(mesh, P(axis))
-
-    def one_phase(qp_phase: QPData, x0, z0, y0, s: Settings):
-        dtype = qp_phase.dtype
-        block_ids = jnp.arange(B, dtype=jnp.int32)
-
-        def device_fn(qp_loc, ids, x, z, y):
-            carry = run_consensus(
-                qp_loc, spec, s, axis, ids, x, z, y, backend)
-            return (carry.x, carry.z, carry.y, carry.status, carry.it,
-                    carry.r_prim, carry.r_dual, carry.rho_bar)
-
-        sharded = shard_map(
-            device_fn, mesh=mesh,
-            in_specs=(jax.tree.map(lambda _: P(axis), qp_phase),
-                      P(axis), P(axis), P(axis), P(axis)),
-            out_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P(), P()),
-            check_vma=False)
-        with xprec.highest():
-            x, z, y, status, it, rp, rd, rho = jax.jit(sharded)(
-                qp_phase, block_ids, x0, z0, y0)
-        return ConsensusSolution(
-            x=x, z=z, y=y, status=status, iters=it,
-            r_prim=rp, r_dual=rd, rho=rho)
-
     dtype = qp_blk.dtype
-    x0 = jnp.zeros((B, spec.nb), dtype)
-    z0 = jnp.zeros((B, spec.mb), dtype)
-    y0 = jnp.zeros((B, spec.mb), dtype)
+    if x0 is None:
+        x0 = jnp.zeros((B, spec.nb), dtype)
+    if z0 is None:
+        z0 = jnp.zeros((B, spec.mb), dtype)
+    if y0 is None:
+        y0 = jnp.zeros((B, spec.mb), dtype)
+
+    blk_sharding = NamedSharding(mesh, P(axis))
     qp_blk = jax.device_put(qp_blk, jax.tree.map(
         lambda _: blk_sharding, qp_blk))
+
+    # Block-shared Ruiz scaling, computed once in the input dtype and
+    # reused by every phase/round (the correction problems keep P, A).
+    qp_s, scaling = ruiz_equilibrate_blocks(
+        qp_blk, spec, settings.scaling_iters)
+
+    if rho0 is not None:
+        rho0 = jnp.asarray(rho0)
+
+    def phase(qp_p, s, x_p, z_p, y_p, off=None, rho0=rho0):
+        return _consensus_phase(qp_p, spec, mesh, s, axis, scaling,
+                                backend, x_p, z_p, y_p, z_off=off,
+                                rho0=rho0)
 
     precision = settings.precision
     if precision == "hybrid" and not jax.config.jax_enable_x64:
         precision = "single"
     if precision == "single":
-        return one_phase(qp_blk, x0, z0, y0, settings)
+        return phase(qp_s, settings, x0, z0, y0)
     if precision == "double":
         f = jnp.float64
-        return one_phase(qp_blk.astype(f), x0.astype(f), z0.astype(f),
-                         y0.astype(f), settings)
+        return phase(qp_s.astype(f), settings,
+                     x0.astype(f), z0.astype(f), y0.astype(f))
+
+    # --- hybrid: f32 phase + re-centered f32 refinement ---
     f32, f64 = jnp.float32, jnp.float64
     s32 = settings.replace(
         precision="single",
@@ -358,19 +637,34 @@ def consensus_solve(qp_blk: QPData, spec: ConsensusSpec, mesh: Mesh,
         eps_rel=max(settings.hybrid_eps, settings.eps_rel),
         sigma=max(settings.sigma, 1e-5),
         rho_eq_scale=min(settings.rho_eq_scale, 1e2))
-    sol32 = one_phase(qp_blk.astype(f32), x0.astype(f32), z0.astype(f32),
-                      y0.astype(f32), s32)
+    sol32 = phase(qp_s.astype(f32), s32,
+                  x0.astype(f32), z0.astype(f32), y0.astype(f32))
 
+    cone = spec.cone
+    if cone.m_l1 == 0 and cone.m_soc == 0 and settings.recenter_rounds > 0:
+        def phase_scaled_c(qp_c, s_c, x_c, z_c, y_c, off_c, rho0):
+            # Correction problems reuse the ORIGINAL scaling (same P, A).
+            qp_cs = scale_qp_blocks(qp_c, scaling.astype(f32), spec)
+            return _consensus_phase(
+                qp_cs, spec, mesh, s_c, axis, scaling.astype(f32),
+                backend, x_c, z_c, y_c, z_off=off_c, rho0=rho0)
+
+        return _recentered_consensus(
+            qp_blk, spec, mesh, settings, axis, scaling, backend, sol32,
+            phase_scaled_c)
+
+    # Fallback for L1/SOC local cones: warm-started f64 phase (XLA
+    # emulates f64 on TPU; residual pmax reductions ride f32 there).
     def clean(v):
         v = v.astype(f64)
         return jnp.where(jnp.isfinite(v), v, 0.0)
 
-    sol64 = one_phase(
-        qp_blk.astype(f64), clean(sol32.x), clean(sol32.z),
-        clean(sol32.y), settings.replace(precision="single"))
+    sol64 = phase(qp_s.astype(f64), settings.replace(precision="single"),
+                  clean(sol32.x), clean(sol32.z), clean(sol32.y))
     return ConsensusSolution(
         x=sol64.x.astype(dtype), z=sol64.z.astype(dtype),
         y=sol64.y.astype(dtype), status=sol64.status,
         iters=sol32.iters + sol64.iters,
         r_prim=sol64.r_prim.astype(dtype),
-        r_dual=sol64.r_dual.astype(dtype), rho=sol64.rho.astype(dtype))
+        r_dual=sol64.r_dual.astype(dtype), rho=sol64.rho.astype(dtype),
+        history=sol64.history)

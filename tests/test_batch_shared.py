@@ -120,3 +120,42 @@ def test_recentered_zero_rounds_falls_back():
     s = Settings(eps_abs=1e-8, eps_rel=1e-8, recenter_rounds=0)
     sol = solve_batch_shared(qp, s)
     assert np.all(np.asarray(sol.status) == int(Status.SOLVED))
+
+
+def test_fused_kernel_on_sharded_mesh():
+    """VERDICT r1 item 2: the fused Pallas iteration kernel executes on
+    a >1-device mesh (per-device pallas_call inside shard_map, interpret
+    mode on CPU) and matches the unsharded XLA body."""
+    import numpy as np
+    from admm_library_tpu.models import monte_carlo as mc
+    from admm_library_tpu.parallel.batch import (
+        make_data_mesh, shard_batch, solve_batch_shared)
+
+    qp, spec, _ = mc.monte_carlo_mpc(
+        jax.random.PRNGKey(3), batch=16, N=8, dim=2, dtype=jnp.float32)
+    s_on = Settings(eps_abs=1e-5, eps_rel=1e-5, fused="on", backend="inv")
+    s_off = s_on.replace(fused="off")
+    ref = solve_batch_shared(qp, s_off)
+    qp_s, *_ = shard_batch(qp, make_data_mesh(8))
+    sol = solve_batch_shared(qp_s, s_on)
+    assert np.all(np.asarray(sol.status) == int(Status.SOLVED))
+    np.testing.assert_allclose(
+        np.asarray(sol.x), np.asarray(ref.x), atol=2e-5)
+
+
+def test_batch_history_trace():
+    """Residual ring buffer wired into the batch path (VERDICT item 7)."""
+    import numpy as np
+    from admm_library_tpu.models import monte_carlo as mc
+    from admm_library_tpu.parallel.batch import solve_batch_shared
+
+    qp, spec, _ = mc.monte_carlo_mpc(
+        jax.random.PRNGKey(4), batch=8, N=8, dim=2, dtype=jnp.float32)
+    s = Settings(eps_abs=1e-5, eps_rel=1e-5, precision="single",
+                 history=64)
+    sol = solve_batch_shared(qp, s)
+    hist = np.asarray(sol.history)
+    filled = hist[hist[:, 0] > 0]
+    filled = filled[np.argsort(filled[:, 0])]
+    assert filled.shape[0] >= 1
+    assert np.all(np.diff(filled[:, 0]) > 0)
