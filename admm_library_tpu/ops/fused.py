@@ -12,11 +12,10 @@ VPU. A lane tile of 128 with the flagship shapes (n=450, m=456, f32)
 uses ~4 MB of VMEM — the whole `check_every` block runs without
 touching HBM, which is what "fused on-device kernels inside a jit'd
 lax.while_loop" [BASELINE.json north_star] means at the hardware level.
-Larger batches are chunked over lane tiles with a Python-unrolled loop
-(the chunks would serialise on the MXU anyway); the kernel itself is
-single-program (no pallas grid) because this remote Mosaic build
-rejects the grid/index-map lowering AND the implicit grid that
-lax.map/scan batching would add ('func.return' legalization failure).
+Larger batches run as a 1-D pallas grid over lane tiles sized to the
+VMEM budget (auto_lane_tile): shared operands use constant index maps
+and stay resident; Mosaic double-buffers the per-lane tiles so the next
+tile's HBM->VMEM DMA overlaps the current tile's compute.
 
 L1 rows use the composite clip(soft-threshold) prox. SOC blocks are
 projected WITHOUT reshapes via selector matmuls: with S the (m_soc,
@@ -39,6 +38,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..problem import ConeSpec
+
+# (np is used for static VMEM byte accounting at trace time.)
+
+
+# TPU VMEM is ~16 MiB/core; budget 12 MiB for kernel operands and leave
+# the rest for Mosaic temporaries/double-buffering headroom.
+VMEM_BUDGET_BYTES = 12 * 2 ** 20
+
+
+def auto_lane_tile(shared_bytes: int, per_lane_bytes: int,
+                   B: int, requested: int | None) -> int:
+    """Largest lane tile that fits the VMEM budget (VERDICT r1 item 8).
+
+    shared_bytes: operands resident regardless of tile (matrices etc);
+    per_lane_bytes: bytes per batch lane (iterates + temporaries).
+    Refuses (ValueError) when even an 8-lane tile cannot fit — callers
+    should fall back to a non-Pallas backend rather than hit a Mosaic
+    OOM mid-solve.
+    """
+    avail = VMEM_BUDGET_BYTES - shared_bytes
+    if avail < 8 * per_lane_bytes:
+        raise ValueError(
+            f"problem too large for the fused Pallas kernel: shared "
+            f"operands {shared_bytes / 2**20:.1f} MiB + 8 lanes x "
+            f"{per_lane_bytes} B exceed the {VMEM_BUDGET_BYTES / 2**20:.0f}"
+            f" MiB VMEM budget")
+    tile = min(int(avail // per_lane_bytes), B)
+    if requested is not None:
+        tile = min(tile, requested)
+    # Round down to the f32 sublane multiple; keep at least 8 lanes.
+    return max(8, (tile // 8) * 8)
 
 
 def soc_selectors(cone: ConeSpec, dtype):
@@ -152,13 +182,15 @@ def _make_kernel(cone, sigma, alpha, k, refine_steps, has_l1, has_soc):
 def fused_iterate_shared(A, Minv, M, q, rho_vec, lam, l, u, x, z, y,
                          cone: ConeSpec, sigma: float, alpha: float,
                          k: int, refine_steps: int = 1,
-                         interpret: bool = False, lane_tile: int = 256):
+                         interpret: bool = False,
+                         lane_tile: int | None = None):
     """Run k fused ADMM iterations on the shared-matrix batch.
 
-    Shared operands are unbatched; x/z/y and l/u carry the (B,) lane
-    axis. B is processed in `lane_tile` chunks via lax.map; each chunk
-    is one single-program pallas launch with everything in VMEM.
-    Returns (x, z, y).
+    Shared operands are unbatched; x/zy and l/u carry the (B,) lane
+    axis. B is processed as a 1-D pallas grid over lane tiles (Mosaic
+    pipelines the next tile's HBM->VMEM DMA behind the current tile's
+    compute); the tile size is auto-fitted to the VMEM budget
+    (auto_lane_tile) unless `lane_tile` pins it. Returns (x, z, y).
     """
     dt = x.dtype
     B, n = x.shape
@@ -183,40 +215,46 @@ def fused_iterate_shared(A, Minv, M, q, rho_vec, lam, l, u, x, z, y,
         S, H = soc_selectors(cone, dt)
         shared += [S, H]
 
+    itemsize = jnp.dtype(dt).itemsize
+    shared_bytes = sum(int(np.prod(a.shape)) for a in shared) * itemsize
+    # Per lane: x/rhs/xt/refine-r/x_out (n-sized) + l/u/z/y/zt/w/v/z_out/
+    # y_out (m-sized), with headroom for Mosaic temporaries.
+    per_lane = (6 * n + 10 * m) * itemsize
+    tile = auto_lane_tile(shared_bytes, per_lane, B, lane_tile)
+
+    # Pad the lane axis up to a tile multiple (duplicated work on <8%
+    # of lanes in the worst case; outputs sliced back).
+    Bp = ((B + tile - 1) // tile) * tile
+    if Bp != B:
+        pad = [(0, Bp - B), (0, 0)]
+        l, u, x, z, y = (jnp.pad(a, pad, mode="edge")
+                         for a in (l, u, x, z, y))
+
     kern = _make_kernel(cone, float(sigma), float(alpha), int(k),
                         int(refine_steps), has_l1, has_soc)
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def run_tile(tile_args):
-        lt, ut, xt, zt, yt = tile_args
-        nb = xt.shape[0]
-        return pl.pallas_call(
-            kern,
-            in_specs=[vspec] * (len(shared) + 5),
-            out_specs=(vspec, vspec, vspec),
-            out_shape=(
-                jax.ShapeDtypeStruct((nb, n), dt),
-                jax.ShapeDtypeStruct((nb, m), dt),
-                jax.ShapeDtypeStruct((nb, m), dt),
-            ),
-            interpret=interpret,
-        )(*shared, lt, ut, xt, zt, yt)
+    def const_spec(a):
+        zero = lambda i: tuple(0 for _ in a.shape)
+        return pl.BlockSpec(a.shape, zero, memory_space=pltpu.VMEM)
 
-    tile = min(lane_tile, B)
-    if B % tile != 0:
-        tile = B
-    if tile == B:
-        return run_tile((l, u, x, z, y))
-    # Python-unrolled chunk loop: wrapping pallas_call in lax.map/scan
-    # re-introduces an implicit grid whose index maps this remote Mosaic
-    # build rejects ('func.return' legalization); the unrolled calls all
-    # share one compiled kernel and serialise on the MXU regardless.
-    nchunk = B // tile
-    outs = []
-    for i in range(nchunk):
-        sl = slice(i * tile, (i + 1) * tile)
-        outs.append(run_tile((l[sl], u[sl], x[sl], z[sl], y[sl])))
-    xo = jnp.concatenate([o[0] for o in outs], axis=0)
-    zo = jnp.concatenate([o[1] for o in outs], axis=0)
-    yo = jnp.concatenate([o[2] for o in outs], axis=0)
+    lane_n = pl.BlockSpec((tile, n), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    lane_m = pl.BlockSpec((tile, m), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+
+    xo, zo, yo = pl.pallas_call(
+        kern,
+        grid=(Bp // tile,),
+        in_specs=[const_spec(a) for a in shared]
+        + [lane_m, lane_m, lane_n, lane_m, lane_m],
+        out_specs=(lane_n, lane_m, lane_m),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, n), dt),
+            jax.ShapeDtypeStruct((Bp, m), dt),
+            jax.ShapeDtypeStruct((Bp, m), dt),
+        ),
+        interpret=interpret,
+    )(*shared, l, u, x, z, y)
+    if Bp != B:
+        xo, zo, yo = xo[:B], zo[:B], yo[:B]
     return xo, zo, yo

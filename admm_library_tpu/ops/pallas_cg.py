@@ -80,13 +80,17 @@ def _kernel(M_ref, dinv_ref, rhs_ref, x0_ref, out_ref, *, iters, tol):
     jax.jit,
     static_argnames=("iters", "tol", "interpret", "lane_tile"))
 def pallas_cg_solve(M, rhs, x0=None, iters: int = 100, tol: float = 1e-7,
-                    interpret: bool = False, lane_tile: int = 256):
-    """Solve M x = rhs for a (B, n) rhs batch with one VMEM-resident PCG
-    kernel per lane tile. Returns x with rhs's shape.
+                    interpret: bool = False, lane_tile: int | None = None):
+    """Solve M x = rhs for a (B, n) rhs batch with a VMEM-resident PCG
+    kernel, gridded over lane tiles. Returns x with rhs's shape.
 
     M: (n, n) SPD (the shared condensed KKT matrix); rhs: (n,) or
     (B, n). `iters` is the static unroll bound; converged lanes freeze.
+    The lane tile auto-fits the VMEM budget (ops.fused.auto_lane_tile)
+    unless pinned.
     """
+    from .fused import auto_lane_tile
+
     squeeze = rhs.ndim == 1
     if squeeze:
         rhs = rhs[None, :]
@@ -98,30 +102,32 @@ def pallas_cg_solve(M, rhs, x0=None, iters: int = 100, tol: float = 1e-7,
         x0 = x0[None, :]
     dinv = (1.0 / jnp.diagonal(M)).reshape(1, n).astype(dt)
 
+    itemsize = jnp.dtype(dt).itemsize
+    shared_bytes = (n * n + n) * itemsize
+    per_lane = 9 * n * itemsize     # rhs/x0/out + x/r/z/p/Mp + headroom
+    tile = auto_lane_tile(shared_bytes, per_lane, B, lane_tile)
+    Bp = ((B + tile - 1) // tile) * tile
+    if Bp != B:
+        pad = [(0, Bp - B), (0, 0)]
+        rhs = jnp.pad(rhs, pad)
+        x0 = jnp.pad(x0, pad)
+
     kern = functools.partial(_kernel, iters=int(iters), tol=float(tol))
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def run_tile(rhs_t, x0_t):
-        nb = rhs_t.shape[0]
-        return pl.pallas_call(
-            kern,
-            in_specs=[vspec] * 4,
-            out_specs=vspec,
-            out_shape=jax.ShapeDtypeStruct((nb, n), dt),
-            interpret=interpret,
-        )(M, dinv, rhs_t, x0_t)
+    def const_spec(a):
+        zero = lambda i: tuple(0 for _ in a.shape)
+        return pl.BlockSpec(a.shape, zero, memory_space=pltpu.VMEM)
 
-    tile = min(lane_tile, B)
-    if B % tile != 0:
-        tile = B
-    if tile == B:
-        out = run_tile(rhs, x0)
-    else:
-        # Python-unrolled tiles: this Mosaic build rejects the implicit
-        # grid a lax.map would add (cf. ops/fused.py); tiles reuse one
-        # compiled kernel and serialise on the MXU regardless.
-        outs = [run_tile(rhs[i * tile:(i + 1) * tile],
-                         x0[i * tile:(i + 1) * tile])
-                for i in range(B // tile)]
-        out = jnp.concatenate(outs, axis=0)
+    lane = pl.BlockSpec((tile, n), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(Bp // tile,),
+        in_specs=[const_spec(M), const_spec(dinv), lane, lane],
+        out_specs=lane,
+        out_shape=jax.ShapeDtypeStruct((Bp, n), dt),
+        interpret=interpret,
+    )(M, dinv, rhs, x0)
+    if Bp != B:
+        out = out[:B]
     return out[0] if squeeze else out
