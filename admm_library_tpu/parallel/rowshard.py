@@ -15,21 +15,33 @@ diagonal-dominant and small relative to A's m x n).
 The z-update, y-update, and per-row prox are embarrassingly row-local;
 global residual inf-norms are `pmax` reductions. rho enters the CG
 operator directly, so adaptive rho needs no refactorisation (SURVEY.md
-A4: "prefer CG — matrix-free, rho enters trivially"); this first
-version runs fixed-rho with the equality boost.
+A4: "prefer CG — matrix-free, rho enters trivially"): every device
+computes the SAME residual-balance update from the already-psum/pmax-
+reduced norms, so the shared rho scalar stays bitwise replicated.
 
-Scaling is handled by the caller (pre-equilibrated or unit-normalised
-builders), as in the consensus path.
+Ruiz equilibration runs on the global problem BEFORE sharding (K4); the
+device loop computes UNSCALED residuals from the scaling vectors and the
+driver unscales the solution at exit.
+
+SPMD needs an identical per-device cone layout (the prox is traced once
+with a static ConeSpec). When the global [box | L1 | SOC] layout does
+not shard uniformly, the driver INTERLEAVES rows round-robin so every
+shard gets the same (m_box/ndev | m_l1/ndev | n_soc/ndev) mix, and
+permutes z/y back on exit — so mixed-cone problems (thrust SOCP rows +
+box dynamics) row-shard without caller gymnastics.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..core.scaling import ruiz_equilibrate
 from ..ops.prox import project_cone
 from ..problem import ConeSpec, QPData
 from ..settings import Settings
@@ -44,6 +56,212 @@ def _pmax(v, axis):
     return jax.lax.pmax(jnp.max(jnp.abs(v)), axis)
 
 
+def uniform_row_permutation(cone: ConeSpec, m: int, ndev: int):
+    """Row permutation making the shards cone-uniform.
+
+    Returns (perm, cone_local): perm[new_row] = old_row such that the
+    permuted rows split into ndev contiguous shards, each laid out
+    [box | L1 | SOC] with identical counts. Requires the per-type row
+    counts to divide ndev (SOC: uniform block dims, block count % ndev).
+    Returns (None, cone) when the layout is already shard-uniform.
+    """
+    mb, ml1 = cone.m_box, cone.m_l1
+    n_soc = cone.n_soc if cone.m_soc else 0
+    if mb % ndev or ml1 % ndev:
+        raise ValueError(
+            f"box rows {mb} / L1 rows {ml1} must divide {ndev} devices")
+    if cone.m_soc:
+        if not cone.soc_uniform:
+            raise ValueError("row sharding needs uniform SOC block dims")
+        if n_soc % ndev:
+            raise ValueError(
+                f"{n_soc} SOC blocks not divisible by {ndev} devices")
+    per_box, per_l1 = mb // ndev, ml1 // ndev
+    per_soc = n_soc // ndev
+    d = cone.soc_dims[0] if cone.m_soc else 0
+    cone_loc = ConeSpec(m_box=per_box, m_l1=per_l1,
+                        soc_dims=(d,) * per_soc)
+    if ndev == 1 or (ml1 == 0 and n_soc == 0) or (mb == 0 and n_soc == 0) \
+            or (mb == 0 and ml1 == 0):
+        # Single row type (or single device): already uniform in order.
+        return None, cone_loc
+    perm = []
+    for dev in range(ndev):
+        perm.extend(range(dev * per_box, (dev + 1) * per_box))
+        perm.extend(mb + dev * per_l1 + i for i in range(per_l1))
+        base = mb + ml1 + dev * per_soc * d
+        perm.extend(base + i for i in range(per_soc * d))
+    return np.asarray(perm, np.int32), cone_loc
+
+
+class RowShardSolution(NamedTuple):
+    x: jax.Array            # (n,) replicated
+    z: jax.Array            # (m,) row-assembled (original row order)
+    y: jax.Array            # (m,)
+    status: jax.Array
+    iters: jax.Array
+    r_prim: jax.Array
+    r_dual: jax.Array
+    rho: jax.Array
+
+
+def solve_rowsharded(qp: QPData, mesh: Mesh, settings: Settings = Settings(),
+                     x0=None, z0=None, y0=None,
+                     axis: str = "data") -> RowShardSolution:
+    """Solve ONE large QP with A/l/u/rho sharded by constraint rows (P3).
+
+    Mixed cones are supported via automatic row interleaving (see module
+    docstring); optional UNSCALED (x0, z0, y0) warm start. Backend is
+    the matrix-free row-sharded CG; rho adapts for free.
+    """
+    ndev = mesh.shape[axis]
+    m, n = qp.m, qp.n
+    if m % ndev != 0:
+        raise ValueError(f"m={m} rows not divisible by {ndev} devices")
+    m_loc = m // ndev
+    dtype = qp.dtype
+    s = settings
+
+    # --- K4: global Ruiz scaling (original row order) ---
+    qps, scaling = ruiz_equilibrate(qp, s.scaling_iters)
+
+    # --- shard-uniform row layout ---
+    perm, cone_loc = uniform_row_permutation(qp.cone, m, ndev)
+    if cone_loc.m_soc and cone_loc.m_soc % 1:
+        raise ValueError("SOC block straddles a row shard")
+
+    lam_full = jnp.zeros((m,), dtype)
+    mb, ml1 = qp.cone.m_box, qp.cone.m_l1
+    if ml1:
+        lam_full = lam_full.at[mb:mb + ml1].set(qps.lam)
+    eq = (qps.l == qps.u) & jnp.isfinite(qps.l) & (jnp.arange(m) < mb)
+
+    A_s, l_s, u_s, lam_s, eq_s, e_s = (qps.A, qps.l, qps.u, lam_full, eq,
+                                       scaling.e)
+    if perm is not None:
+        pidx = jnp.asarray(perm)
+        A_s, l_s, u_s = A_s[pidx], l_s[pidx], u_s[pidx]
+        lam_s, eq_s, e_s = lam_s[pidx], eq_s[pidx], e_s[pidx]
+
+    if x0 is None:
+        x0 = jnp.zeros((n,), dtype)
+    if z0 is None:
+        z0 = jnp.zeros((m,), dtype)
+    if y0 is None:
+        y0 = jnp.zeros((m,), dtype)
+    # Warm starts: scale, then permute into shard order.
+    xs = scaling.scale_x(x0)
+    zs = scaling.scale_z(z0)
+    ys = scaling.scale_y(y0)
+    if perm is not None:
+        zs, ys = zs[pidx], ys[pidx]
+
+    d_v, c_v = scaling.d, scaling.c
+
+    def device_fn(P_mat, q, A_loc, l_loc, u_loc, lam_loc, eq_loc,
+                  x0_, z0_, y0_, d_, e_loc, c_):
+        einv_loc = 1.0 / e_loc
+        cd_inv = 1.0 / (c_ * d_)
+        k = s.check_every
+        interval_checks = max(1, s.adaptive_rho_interval // k)
+        big = jnp.asarray(jnp.inf, dtype)
+
+        def rho_of(rb):
+            return jnp.where(eq_loc, s.rho_eq_scale * rb, rb)
+
+        def iter_once(_, carry):
+            x, z, y, rho_bar = carry
+            rho_loc = rho_of(rho_bar)
+            rhs_loc = xprec.matmul(rho_loc * z - y, A_loc)
+            rhs = (s.sigma * x - q + jax.lax.psum(rhs_loc, axis))
+            xt = _cg_rowsharded(P_mat, A_loc, rho_loc, s.sigma, rhs,
+                                axis, s.cg_tol, s.cg_max_iter)
+            zt = xprec.matmul(A_loc, xt)
+            a = s.alpha
+            x_new = a * xt + (1 - a) * x
+            w = a * zt + (1 - a) * z
+            v = w + y / rho_loc
+            nl = cone_loc.m_l1
+            mbl = cone_loc.m_box
+            lam_r = (lam_loc[mbl:mbl + nl] / rho_loc[mbl:mbl + nl]
+                     if nl else lam_loc[:0])
+            z_new = project_cone(v, l_loc, u_loc, lam_r, cone_loc)
+            y_new = y + rho_loc * (w - z_new)
+            return x_new, z_new, y_new, rho_bar
+
+        def cond(c):
+            x, z, y, rho_bar, it, status, rp, rd = c
+            return (status == _UNSOLVED) & (it < s.max_iter)
+
+        def body(c):
+            x, z, y, rho_bar, it, status, rp, rd = c
+            x, z, y, _ = jax.lax.fori_loop(
+                0, k, iter_once, (x, z, y, rho_bar))
+            it = it + k
+            Ax = xprec.matmul(A_loc, x)
+            Aty = jax.lax.psum(xprec.matmul(y, A_loc), axis)
+            Px = xprec.matmul(P_mat, x)
+            # Unscaled residuals/norms (K4 exit criterion).
+            r_p = _pmax(einv_loc * (Ax - z), axis)
+            r_d = jnp.max(jnp.abs(cd_inv * (Px + q + Aty)))
+            nAx = _pmax(einv_loc * Ax, axis)
+            nz = _pmax(einv_loc * z, axis)
+            nPx = jnp.max(jnp.abs(cd_inv * Px))
+            nAty = jnp.max(jnp.abs(cd_inv * Aty))
+            nq = jnp.max(jnp.abs(cd_inv * q))
+            eps_p = s.eps_abs + s.eps_rel * jnp.maximum(nAx, nz)
+            eps_d = s.eps_abs + s.eps_rel * jnp.maximum(
+                nPx, jnp.maximum(nAty, nq))
+            solved = (r_p <= eps_p) & (r_d <= eps_d)
+            status = jnp.where(solved, _SOLVED, _UNSOLVED)
+            # Adaptive rho (A4): free under CG. All inputs below are
+            # globally-reduced scalars, so every device computes the
+            # identical new rho — no extra collective.
+            if s.adaptive_rho:
+                adapt_now = ((it // k - 1) % interval_checks
+                             == (interval_checks - 1))
+                tiny = jnp.finfo(dtype).tiny
+                sp = r_p / jnp.maximum(jnp.maximum(nAx, nz), tiny)
+                sd = r_d / jnp.maximum(
+                    jnp.maximum(jnp.maximum(nPx, nAty), nq), tiny)
+                ratio = jnp.sqrt(sp / jnp.maximum(sd, tiny))
+                new_rho = jnp.clip(rho_bar * ratio, s.rho_min, s.rho_max)
+                tol = s.adaptive_rho_tol
+                changed = (ratio > tol) | (ratio < 1.0 / tol)
+                do = adapt_now & changed & (status == _UNSOLVED)
+                rho_bar = jnp.where(do, new_rho, rho_bar)
+            return x, z, y, rho_bar, it, status, r_p, r_d
+
+        init = (x0_, z0_, y0_, jnp.asarray(s.rho, dtype), jnp.int32(0),
+                _UNSOLVED, big, big)
+        x, z, y, rho_bar, it, status, rp, rd = jax.lax.while_loop(
+            cond, body, init)
+        status = jnp.where(
+            status == _UNSOLVED, jnp.int32(int(Status.MAX_ITER)), status)
+        return x, z, y, status, it, rp, rd, rho_bar
+
+    sharded = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(), P(axis), P(axis), P(), P(axis), P()),
+        out_specs=(P(), P(axis), P(axis), P(), P(), P(), P(), P()),
+        check_vma=False)
+    with xprec.highest():
+        x, z, y, status, it, rp, rd, rho = jax.jit(sharded)(
+            qps.P, qps.q, A_s, l_s, u_s, lam_s, eq_s,
+            xs, zs, ys, d_v, e_s, c_v)
+    # Unscale; un-permute rows back to the caller's order.
+    x = scaling.unscale_x(x)
+    if perm is not None:
+        inv = jnp.zeros_like(pidx).at[pidx].set(
+            jnp.arange(m, dtype=pidx.dtype))
+        z, y = z[inv], y[inv]
+    z = scaling.unscale_z(z)
+    y = scaling.unscale_y(y)
+    return RowShardSolution(x=x, z=z, y=y, status=status, iters=it,
+                            r_prim=rp, r_dual=rd, rho=rho)
+
+
 def _cg_rowsharded(P_mat, A_loc, rho_loc, sigma, rhs, axis, tol, max_iter):
     """CG on the condensed operator with row-sharded A (replicated x).
 
@@ -53,8 +271,8 @@ def _cg_rowsharded(P_mat, A_loc, rho_loc, sigma, rhs, axis, tol, max_iter):
     """
 
     def op(v):
-        Av = xprec.matmul(A_loc, v)                                   # (m_loc,)
-        At = xprec.matmul(rho_loc * Av, A_loc)                      # (n,) partial
+        Av = xprec.matmul(A_loc, v)                          # (m_loc,)
+        At = xprec.matmul(rho_loc * Av, A_loc)               # (n,) partial
         At = jax.lax.psum(At, axis)
         return xprec.matmul(P_mat, v) + sigma * v + At
 
@@ -81,137 +299,3 @@ def _cg_rowsharded(P_mat, A_loc, rho_loc, sigma, rhs, axis, tol, max_iter):
     x, *_ = jax.lax.while_loop(
         cond, body, (x, r, p, rs, jnp.asarray(0, jnp.int32)))
     return x
-
-
-class RowShardSolution(NamedTuple):
-    x: jax.Array            # (n,) replicated
-    z: jax.Array            # (m,) row-assembled
-    y: jax.Array            # (m,)
-    status: jax.Array
-    iters: jax.Array
-    r_prim: jax.Array
-    r_dual: jax.Array
-
-
-def solve_rowsharded(qp: QPData, mesh: Mesh, settings: Settings = Settings(),
-                     axis: str = "data") -> RowShardSolution:
-    """Solve ONE large QP with A/l/u/rho sharded by constraint rows (P3).
-
-    Constraints: the cone must be row-local under the sharding — box and
-    L1 rows always are; SOC blocks must not straddle a shard boundary
-    (m divisible by mesh size and blocks aligned). P is replicated.
-    """
-    ndev = mesh.shape[axis]
-    m, n = qp.m, qp.n
-    if m % ndev != 0:
-        raise ValueError(f"m={m} rows not divisible by {ndev} devices")
-    m_loc = m // ndev
-    cone = qp.cone
-    if cone.m_soc:
-        # Every SOC block must live inside one shard.
-        off = cone.m_box + cone.m_l1
-        for d in cone.soc_dims:
-            if off // m_loc != (off + d - 1) // m_loc:
-                raise ValueError("SOC block straddles a row shard")
-            off += d
-    dtype = qp.dtype
-    s = settings
-    eq = (qp.l == qp.u) & jnp.isfinite(qp.l) & (
-        jnp.arange(m) < cone.m_box)
-
-    def local_cone(dev_lo):
-        """Static per-device cone layout (box/L1/SOC row counts)."""
-        lo, hi = dev_lo, dev_lo + m_loc
-        nb = max(0, min(hi, cone.m_box) - lo)
-        nl = max(0, min(hi, cone.m_box + cone.m_l1)
-                 - max(lo, cone.m_box))
-        socs = []
-        off = cone.m_box + cone.m_l1
-        for d in cone.soc_dims:
-            if off >= lo and off < hi:
-                socs.append(d)
-            off += d
-        return ConeSpec(m_box=nb, m_l1=nl, soc_dims=tuple(socs))
-
-    # The cone layout must be identical on every device for SPMD; the
-    # builders targeting P3 lay rows out so each shard sees the same
-    # (box | L1 | SOC) pattern. Verify that here.
-    cones = [local_cone(i * m_loc) for i in range(ndev)]
-    if any(c != cones[0] for c in cones[1:]):
-        raise ValueError(
-            "row sharding requires a per-shard-uniform cone layout; "
-            f"got {cones}")
-    cone_loc = cones[0]
-
-    def device_fn(P_mat, q, A_loc, l_loc, u_loc, lam_loc, rho_mask_loc):
-        rho_bar = jnp.asarray(s.rho, dtype)
-        x = jnp.zeros((n,), dtype)
-        z = jnp.zeros((m_loc,), dtype)
-        y = jnp.zeros((m_loc,), dtype)
-        big = jnp.asarray(jnp.inf, dtype)
-        k = s.check_every
-
-        def rho_of(rb):
-            return jnp.where(rho_mask_loc, s.rho_eq_scale * rb, rb)
-
-        def iter_once(_, carry):
-            x, z, y = carry
-            rho_loc = rho_of(rho_bar)
-            rhs_loc = xprec.matmul(rho_loc * z - y, A_loc)
-            rhs = (s.sigma * x - q + jax.lax.psum(rhs_loc, axis))
-            xt = _cg_rowsharded(P_mat, A_loc, rho_loc, s.sigma, rhs,
-                                axis, s.cg_tol, s.cg_max_iter)
-            zt = xprec.matmul(A_loc, xt)
-            a = s.alpha
-            x_new = a * xt + (1 - a) * x
-            w = a * zt + (1 - a) * z
-            v = w + y / rho_loc
-            mb, nl = cone_loc.m_box, cone_loc.m_l1
-            lam_r = (lam_loc[mb:mb + nl] / rho_loc[mb:mb + nl]
-                     if nl else lam_loc[:0])
-            z_new = project_cone(v, l_loc, u_loc, lam_r, cone_loc)
-            y_new = y + rho_loc * (w - z_new)
-            return x_new, z_new, y_new
-
-        def cond(c):
-            x, z, y, it, status, rp, rd = c
-            return (status == _UNSOLVED) & (it < s.max_iter)
-
-        def body(c):
-            x, z, y, it, status, rp, rd = c
-            x, z, y = jax.lax.fori_loop(0, k, iter_once, (x, z, y))
-            it = it + k
-            Ax = xprec.matmul(A_loc, x)
-            Aty = jax.lax.psum(xprec.matmul(y, A_loc), axis)
-            Px = xprec.matmul(P_mat, x)
-            r_p = _pmax(Ax - z, axis)
-            r_d = jnp.max(jnp.abs(Px + q + Aty))
-            eps_p = s.eps_abs + s.eps_rel * jnp.maximum(
-                _pmax(Ax, axis), _pmax(z, axis))
-            eps_d = s.eps_abs + s.eps_rel * jnp.maximum(
-                jnp.max(jnp.abs(Px)),
-                jnp.maximum(jnp.max(jnp.abs(Aty)), jnp.max(jnp.abs(q))))
-            solved = (r_p <= eps_p) & (r_d <= eps_d)
-            status = jnp.where(solved, _SOLVED, _UNSOLVED)
-            return x, z, y, it, status, r_p, r_d
-
-        init = (x, z, y, jnp.int32(0), _UNSOLVED, big, big)
-        x, z, y, it, status, rp, rd = jax.lax.while_loop(cond, body, init)
-        status = jnp.where(
-            status == _UNSOLVED, jnp.int32(int(Status.MAX_ITER)), status)
-        return x, z, y, status, it, rp, rd
-
-    sharded = shard_map(
-        device_fn, mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P(axis), P(axis), P(), P(), P(), P()),
-        check_vma=False)
-    lam_full = jnp.zeros((m,), dtype)
-    if cone.m_l1:
-        lam_full = lam_full.at[cone.m_box:cone.m_box + cone.m_l1].set(
-            qp.lam)
-    with xprec.highest():
-        x, z, y, status, it, rp, rd = jax.jit(sharded)(
-            qp.P, qp.q, qp.A, qp.l, qp.u, lam_full, eq)
-    return RowShardSolution(x=x, z=z, y=y, status=status, iters=it,
-                            r_prim=rp, r_dual=rd)

@@ -38,3 +38,79 @@ def test_rowsharded_rejects_straddling_soc():
     mesh = make_data_mesh(8)
     with pytest.raises(ValueError):
         solve_rowsharded(qp, mesh, Settings())
+
+
+def test_rowsharded_l1_matches_single():
+    """Rowsharded L1 (min-fuel style) problem end-to-end vs single-chip
+    (VERDICT r1 item 6)."""
+    from admm_library_tpu.problem import ConeSpec, QPData
+
+    rng = np.random.default_rng(5)
+    n, m_box, m_l1 = 24, 32, 16
+    m = m_box + m_l1
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float64)
+    Pm = jnp.asarray(np.eye(n) * 0.5, jnp.float64)
+    q = jnp.asarray(rng.standard_normal(n), jnp.float64)
+    l = jnp.concatenate([jnp.full((m_box,), -2.0),
+                         jnp.full((m_l1,), -jnp.inf)]).astype(jnp.float64)
+    u = -l
+    lam = jnp.full((m_l1,), 0.3, jnp.float64)
+    qp = QPData(P=Pm, q=q, A=A, l=l, u=u, lam=lam,
+                cone=ConeSpec(m_box=m_box, m_l1=m_l1))
+    mesh = make_data_mesh(8)
+    s = Settings(eps_abs=1e-8, eps_rel=1e-8, precision="single")
+    sol = solve_rowsharded(qp, mesh, s)
+    assert int(sol.status) == int(Status.SOLVED)
+    ref = solve(qp, Settings(eps_abs=1e-9, eps_rel=1e-9))
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(qp.A) @ np.asarray(sol.x), np.asarray(sol.z),
+        atol=1e-6)
+
+
+def test_rowsharded_soc_matches_single():
+    """Rowsharded SOC problem (one cone per shard after interleave)
+    solved end-to-end vs single-chip."""
+    from admm_library_tpu.problem import ConeSpec, QPData
+
+    rng = np.random.default_rng(7)
+    ndev, d = 8, 4
+    n = 24
+    m_box = 16
+    m_soc = ndev * d
+    m = m_box + m_soc
+    A = jnp.asarray(rng.standard_normal((m, n)) * 0.5, jnp.float64)
+    Pm = jnp.asarray(np.eye(n), jnp.float64)
+    q = jnp.asarray(rng.standard_normal(n), jnp.float64)
+    l = jnp.concatenate([
+        jnp.full((m_box,), -3.0),
+        jnp.full((m_soc,), -jnp.inf)]).astype(jnp.float64)
+    u = jnp.concatenate([
+        jnp.full((m_box,), 3.0),
+        jnp.full((m_soc,), jnp.inf)]).astype(jnp.float64)
+    qp = QPData(P=Pm, q=q, A=A, l=l, u=u,
+                lam=jnp.zeros(0, dtype=jnp.float64),
+                cone=ConeSpec(m_box=m_box, soc_dims=(d,) * ndev))
+    mesh = make_data_mesh(8)
+    s = Settings(eps_abs=1e-7, eps_rel=1e-7, precision="single",
+                 max_iter=50000)
+    sol = solve_rowsharded(qp, mesh, s)
+    assert int(sol.status) == int(Status.SOLVED)
+    ref = solve(qp, Settings(eps_abs=1e-9, eps_rel=1e-9, max_iter=50000))
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
+                               atol=1e-5)
+    # Every SOC block of z is feasible: ||tail|| <= head.
+    z = np.asarray(sol.z)[m_box:].reshape(ndev, d)
+    assert np.all(np.linalg.norm(z[:, 1:], axis=1) <= z[:, 0] + 1e-6)
+
+
+def test_rowsharded_warm_start():
+    qp = random_box_qp(jax.random.key(22), n=32, m=64, dtype=jnp.float64)
+    mesh = make_data_mesh(8)
+    s = Settings(eps_abs=1e-8, eps_rel=1e-8, precision="single")
+    sol = solve_rowsharded(qp, mesh, s)
+    assert int(sol.status) == int(Status.SOLVED)
+    warm = solve_rowsharded(qp, mesh, s, x0=sol.x, z0=sol.z, y0=sol.y)
+    assert int(warm.status) == int(Status.SOLVED)
+    assert int(warm.iters) <= max(int(sol.iters) // 4, s.check_every)
