@@ -121,13 +121,25 @@ def bench_monte_carlo(seed: int = 0, batch: int = 1024):
     rendezvous QPs, shared-matrix batch, lockstep iters/s per chip.
 
     ADMM_TPU_FUSED=off selects the plain XLA iteration body instead of
-    the fused Pallas kernel."""
+    the fused Pallas kernel. ADMM_BENCH_HISTORY=N records the on-device
+    residual ring buffer (N slots) and emits the filled entries as
+    `trace` [(iter, r_prim, r_dual), ...] — the bitwise-stability
+    artifact: same-topology reruns are bitwise identical; different
+    topologies agree to <= 1e-6 (reduction order differs across mesh
+    shapes; see tests/test_batch_shared.py)."""
     qp, spec, _ = mc.monte_carlo_mpc(
         jax.random.PRNGKey(seed), batch=batch, N=50, dim=3)
-    s = Settings(eps_abs=EPS, eps_rel=EPS,
+    hist = int(os.environ.get("ADMM_BENCH_HISTORY", "0"))
+    s = Settings(eps_abs=EPS, eps_rel=EPS, history=hist,
                  fused=os.environ.get("ADMM_TPU_FUSED", "auto"))
     sol, dt = _timed(lambda: solve_batch_shared(qp, s))
-    return _report("monte_carlo_1024", sol, dt, batch=batch)
+    rep = _report(f"monte_carlo_{batch}", sol, dt, batch=batch)
+    if hist:
+        h = np.asarray(sol.history)
+        h = h[h[:, 0] > 0]
+        h = h[np.argsort(h[:, 0])]
+        rep["trace"] = [[float(a), float(b), float(c)] for a, b, c in h]
+    return rep
 
 
 def bench_consensus_mc(seed: int = 0, batch: int = 1024, N: int = 50,

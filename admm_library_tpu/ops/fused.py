@@ -42,9 +42,13 @@ from ..problem import ConeSpec
 # (np is used for static VMEM byte accounting at trace time.)
 
 
-# TPU VMEM is ~16 MiB/core; budget 12 MiB for kernel operands and leave
-# the rest for Mosaic temporaries/double-buffering headroom.
-VMEM_BUDGET_BYTES = 12 * 2 ** 20
+# TPU VMEM is ~16 MiB/core; budget 10 MiB for kernel operands — Mosaic
+# double-buffers every gridded block and the kernel body's temporaries
+# live on the same scoped stack, so the per-lane estimates below must
+# stay conservative (measured: a 12 MiB budget with a thin per-lane
+# estimate overflowed the 16 MiB scoped limit by 288K on the flagship
+# shapes).
+VMEM_BUDGET_BYTES = 10 * 2 ** 20
 
 
 def auto_lane_tile(shared_bytes: int, per_lane_bytes: int,
@@ -217,9 +221,10 @@ def fused_iterate_shared(A, Minv, M, q, rho_vec, lam, l, u, x, z, y,
 
     itemsize = jnp.dtype(dt).itemsize
     shared_bytes = sum(int(np.prod(a.shape)) for a in shared) * itemsize
-    # Per lane: x/rhs/xt/refine-r/x_out (n-sized) + l/u/z/y/zt/w/v/z_out/
-    # y_out (m-sized), with headroom for Mosaic temporaries.
-    per_lane = (6 * n + 10 * m) * itemsize
+    # Per lane: double-buffered grid blocks (2x: l/u/z/y in + z/y out =
+    # 6m; x in + x out = 2n -> 4n + 12m) plus body temporaries
+    # (rhs/xt/refine-r ~ 4n; zt/w/v/z_new ~ 4m).
+    per_lane = (8 * n + 16 * m) * itemsize
     tile = auto_lane_tile(shared_bytes, per_lane, B, lane_tile)
 
     # Pad the lane axis up to a tile multiple (duplicated work on <8%
@@ -233,13 +238,18 @@ def fused_iterate_shared(A, Minv, M, q, rho_vec, lam, l, u, x, z, y,
     kern = _make_kernel(cone, float(sigma), float(alpha), int(k),
                         int(refine_steps), has_l1, has_soc)
 
+    # Index maps cast to i32: under jax_enable_x64 the grid index math
+    # traces as i64, which this Mosaic build cannot legalize (measured:
+    # 'func.return' legalization failure on any x64 gridded kernel).
+    i32 = jnp.int32
+
     def const_spec(a):
-        zero = lambda i: tuple(0 for _ in a.shape)
+        zero = lambda i: tuple(i32(0) for _ in a.shape)
         return pl.BlockSpec(a.shape, zero, memory_space=pltpu.VMEM)
 
-    lane_n = pl.BlockSpec((tile, n), lambda i: (i, 0),
+    lane_n = pl.BlockSpec((tile, n), lambda i: (i32(i), i32(0)),
                           memory_space=pltpu.VMEM)
-    lane_m = pl.BlockSpec((tile, m), lambda i: (i, 0),
+    lane_m = pl.BlockSpec((tile, m), lambda i: (i32(i), i32(0)),
                           memory_space=pltpu.VMEM)
 
     xo, zo, yo = pl.pallas_call(

@@ -114,11 +114,15 @@ def pallas_cg_solve(M, rhs, x0=None, iters: int = 100, tol: float = 1e-7,
 
     kern = functools.partial(_kernel, iters=int(iters), tol=float(tol))
 
+    # i32 index maps: x64-mode grid index math is i64, which this
+    # Mosaic build cannot legalize (cf. ops/fused.py).
+    i32 = jnp.int32
+
     def const_spec(a):
-        zero = lambda i: tuple(0 for _ in a.shape)
+        zero = lambda i: tuple(i32(0) for _ in a.shape)
         return pl.BlockSpec(a.shape, zero, memory_space=pltpu.VMEM)
 
-    lane = pl.BlockSpec((tile, n), lambda i: (i, 0),
+    lane = pl.BlockSpec((tile, n), lambda i: (i32(i), i32(0)),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,

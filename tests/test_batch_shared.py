@@ -159,3 +159,36 @@ def test_batch_history_trace():
     filled = filled[np.argsort(filled[:, 0])]
     assert filled.shape[0] >= 1
     assert np.all(np.diff(filled[:, 0]) > 0)
+
+
+def test_residual_trace_stability_across_topologies():
+    """SURVEY.md §7 "bitwise stability": (a) same-topology repeat runs
+    produce BITWISE-identical residual traces; (b) 1-device and 8-device
+    topologies agree on the trace to <= 1e-6 (reduction orders differ
+    across mesh shapes, so bitwise is only promised per-topology)."""
+    import numpy as np
+    from admm_library_tpu.models import monte_carlo as mc
+    from admm_library_tpu.parallel.batch import (
+        make_data_mesh, shard_batch, solve_batch_shared)
+
+    qp, spec, _ = mc.monte_carlo_mpc(
+        jax.random.PRNGKey(6), batch=16, N=8, dim=2, dtype=jnp.float32)
+    s = Settings(eps_abs=1e-5, eps_rel=1e-5, precision="single",
+                 history=128)
+
+    h1 = np.asarray(solve_batch_shared(qp, s).history)
+    h1b = np.asarray(solve_batch_shared(qp, s).history)
+    assert np.array_equal(h1, h1b)          # bitwise, same topology
+
+    qp_s, *_ = shard_batch(qp, make_data_mesh(8))
+    h8 = np.asarray(solve_batch_shared(qp_s, s).history)
+    h8b = np.asarray(solve_batch_shared(qp_s, s).history)
+    assert np.array_equal(h8, h8b)          # bitwise, same topology
+
+    f1 = h1[h1[:, 0] > 0]
+    f8 = h8[h8[:, 0] > 0]
+    k = min(len(f1), len(f8))
+    assert k >= 1
+    # Same iteration stamps; residuals agree across topologies to 1e-6.
+    assert np.array_equal(f1[:k, 0], f8[:k, 0])
+    np.testing.assert_allclose(f1[:k, 1:], f8[:k, 1:], atol=1e-6)
