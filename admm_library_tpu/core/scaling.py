@@ -188,6 +188,24 @@ def scale_qp_blocks(qp_blk: QPData, scaling: Scaling, spec) -> QPData:
     return QPData(P=P, q=q, A=A, l=l, u=u, lam=lam, cone=qp_blk.cone)
 
 
+def scale_qp(qp: QPData, scaling: Scaling) -> QPData:
+    """Apply a precomputed Scaling to dense problem data (q/l/u may be
+    batched with a leading lane axis). Used by the re-centered
+    refinement rounds, whose correction problems keep the original
+    (P, A) — re-running the iterative Ruiz loop there would recompute
+    the exact same (d, e) at prologue cost (measured 2.8 ms/round on
+    the batch-128 headline workload)."""
+    d, e, c = scaling.d, scaling.e, scaling.c
+    mb, ml = qp.cone.m_box, qp.cone.m_l1
+    P = c * (d[:, None] * qp.P * d[None, :])
+    q = c * (d * qp.q)
+    A = e[:, None] * qp.A * d[None, :]
+    l = jnp.where(jnp.isfinite(qp.l), e * qp.l, qp.l)
+    u = jnp.where(jnp.isfinite(qp.u), e * qp.u, qp.u)
+    lam = c * qp.lam / e[mb:mb + ml] if ml else qp.lam
+    return QPData(P=P, q=q, A=A, l=l, u=u, lam=lam, cone=qp.cone)
+
+
 def ruiz_equilibrate(qp: QPData, iters: int):
     """Return (scaled QPData, Scaling). iters=0 -> identity scaling."""
     n, m = qp.n, qp.m

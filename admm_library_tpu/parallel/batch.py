@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import xprec
 from ..core import admm
-from ..core.scaling import ruiz_equilibrate
+from ..core.scaling import ruiz_equilibrate, scale_qp
 from ..ops import fused as fused_ops
 from ..ops import kkt
 from ..problem import QPData, objective
@@ -74,7 +74,8 @@ def _geomean_masked(v, mask):
 def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
                           x0, z0, y0, backend: str,
                           band_block: int = 0,
-                          data_axis: str | None = None) -> BatchCarry:
+                          data_axis: str | None = None,
+                          rho0=None) -> BatchCarry:
     """Lockstep batched ADMM with one shared KKT factor.
 
     `qp` carries UNBATCHED P, A and BATCHED (B, m) l, u (and optionally
@@ -94,7 +95,9 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
     """
     dtype = qp.dtype
     eq_mask = admm.is_equality_row_shared(qp)
-    rho0 = jnp.asarray(settings.rho, dtype)
+    rho0 = (jnp.asarray(settings.rho, dtype) if rho0 is None
+            else jnp.clip(rho0.astype(dtype), settings.rho_min,
+                          settings.rho_max))
     B = x0.shape[0]
 
     def factor(rho_bar):
@@ -245,15 +248,23 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
     return final._replace(status=status)
 
 
-def _phase(qp, x0, z0, y0, settings, backend, mesh=None, axis="data"):
+def _phase(qp, x0, z0, y0, settings, backend, mesh=None, axis="data",
+           scaling=None, rho0=None):
     # Exact-f32 dots throughout (TPU default precision diverges; xprec).
     with xprec.highest():
-        return _phase_inner(qp, x0, z0, y0, settings, backend, mesh, axis)
+        return _phase_inner(qp, x0, z0, y0, settings, backend, mesh, axis,
+                            scaling, rho0)
 
 
 def _phase_inner(qp, x0, z0, y0, settings, backend, mesh=None,
-                 axis="data"):
-    qps, scaling = ruiz_equilibrate(qp, settings.scaling_iters)
+                 axis="data", scaling=None, rho0=None):
+    if scaling is not None:
+        # Precomputed scaling (re-centered rounds: same P/A as phase 1,
+        # so the iterative Ruiz loop would recompute identical factors).
+        scaling = scaling.astype(qp.dtype)
+        qps = scale_qp(qp, scaling)
+    else:
+        qps, scaling = ruiz_equilibrate(qp, settings.scaling_iters)
     if settings.warm_start:
         xs = scaling.scale_x(x0)
         zs = scaling.scale_z(z0)
@@ -276,25 +287,27 @@ def _phase_inner(qp, x0, z0, y0, settings, backend, mesh=None,
             l=lspec(qps.l, 1), u=lspec(qps.u, 1), lam=lspec(qps.lam, 1),
             cone=qps.cone)
         scal_specs = jax.tree.map(lambda _: P(), scaling)
+        r0 = (jnp.asarray(settings.rho, qps.dtype) if rho0 is None
+              else rho0.astype(qps.dtype))
 
-        def device_fn(qp_loc, scal, xs_, zs_, ys_):
+        def device_fn(qp_loc, scal, xs_, zs_, ys_, r0_):
             c = run_admm_batch_shared(
                 qp_loc, scal, settings, xs_, zs_, ys_, backend,
-                band_block=settings.band_block, data_axis=axis)
+                band_block=settings.band_block, data_axis=axis, rho0=r0_)
             return (c.x, c.z, c.y, c.rho_bar, c.iters_lane, c.status,
                     c.r_prim, c.r_dual, c.hist)
 
         fn = jax.shard_map(
             device_fn, mesh=mesh,
-            in_specs=(qp_specs, scal_specs, PA, PA, PA),
+            in_specs=(qp_specs, scal_specs, PA, PA, PA, P()),
             out_specs=(PA, PA, PA, P(), PA, PA, PA, PA, P()),
             check_vma=False)
         (cx, cz, cy, rho_bar, iters_lane, status, r_prim, r_dual,
-         hist) = fn(qps, scaling, xs, zs, ys)
+         hist) = fn(qps, scaling, xs, zs, ys, r0)
     else:
         carry = run_admm_batch_shared(
             qps, scaling, settings, xs, zs, ys, backend,
-            band_block=settings.band_block)
+            band_block=settings.band_block, rho0=rho0)
         cx, cz, cy = carry.x, carry.z, carry.y
         rho_bar, iters_lane, status = (carry.rho_bar, carry.iters_lane,
                                        carry.status)
@@ -347,8 +360,13 @@ def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
     f32, f64 = jnp.float32, jnp.float64
     s1 = _s32_of_shared(settings)
     qp64 = qp.astype(f64)
+    # One Ruiz pass serves phase 1 AND every correction round: the
+    # rounds keep the original (P, A), so re-equilibrating inside each
+    # round recomputes identical (d, e) at full prologue cost.
+    _, scaling1 = ruiz_equilibrate(qp.astype(f32), s1.scaling_iters)
     sol = _phase(qp.astype(f32), x0.astype(f32), z0.astype(f32),
-                 y0.astype(f32), s1, backend, mesh, axis)
+                 y0.astype(f32), s1, backend, mesh, axis,
+                 scaling=scaling1)
     p1_inf = (sol.status == _PINF) | (sol.status == _DINF)
     x_t = _clean64(sol.x)
     y_t = _clean64(sol.y)
@@ -378,7 +396,8 @@ def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
             lam=qp.lam.astype(f32), cone=qp.cone)
         zc0 = (z_t64 - Ax).astype(f32)
         solc = _phase(qp_c, jnp.zeros((B, qp.n), f32), zc0,
-                      y_t.astype(f32), s_c, backend, mesh, axis)
+                      y_t.astype(f32), s_c, backend, mesh, axis,
+                      scaling=scaling1, rho0=rho.astype(f32))
         x_t = x_t + _clean64(solc.x)
         y_t = _clean64(solc.y)
         z_t64 = Ax + _clean64(solc.z)     # z_total ∈ C by construction
