@@ -220,6 +220,8 @@ def _recentered_rounds(qp: QPData, qp64: QPData, sol0: Solution,
         # meaningless there — disable.
         eps_pinf=0.0, eps_dinf=0.0)
 
+    nlam = admm.l1_grad_scale_raw(qp64)
+
     def true_resid(x_t, y_t, z_t):
         Ax = xprec.einsum("...ij,...j->...i", qp64.A, x_t)
         Px = xprec.einsum("...ij,...j->...i", qp64.P, x_t)
@@ -229,8 +231,11 @@ def _recentered_rounds(qp: QPData, qp64: QPData, sol0: Solution,
         linf = lambda v: jnp.max(jnp.abs(v), axis=-1)
         eps_p = settings.eps_abs + settings.eps_rel * jnp.maximum(
             linf(Ax), linf(z_t))
+        # eps_d reference incl. the L1 gradient scale (matches the
+        # solver loop — core.admm.l1_grad_scale).
         eps_d = settings.eps_abs + settings.eps_rel * jnp.maximum(
-            jnp.maximum(linf(Px), linf(Aty)), linf(qp64.q))
+            jnp.maximum(linf(Px), linf(Aty)),
+            jnp.maximum(linf(qp64.q), nlam))
         solved = (r_p <= eps_p) & (r_d <= eps_d)
         return Ax, Px, Aty, r_p, r_d, solved, eps_p, eps_d
 
@@ -340,6 +345,33 @@ def solve(qp: QPData, settings: Settings = Settings(),
         precision = "single"
     if precision != "hybrid":
         return _solve_jit(qp, x0, z0, y0, settings, backend)
+
+    if qp.cone.m_soc and settings.recenter_rounds > 0:
+        # SOC problems: polish cannot land (curved boundary), so the
+        # staged polish pipeline below is pure overhead; delegate to
+        # the shared-matrix batch core at B=1 — its dual re-centered
+        # rounds (masked box base + Moreau SOC base + per-round
+        # safeguard, parallel/batch._solve_shared_recentered) reach
+        # ABSOLUTE 1e-6 residuals in pure f32 where the old staged
+        # path fell back to the emulated-f64 phase (the 4.5 s config-4
+        # wall-clock of round 2).
+        from .parallel.batch import solve_batch_shared
+        from .problem import QPData as _QPData
+        qpb = _QPData(P=qp.P, q=qp.q, A=qp.A, l=qp.l[None], u=qp.u[None],
+                      lam=qp.lam, cone=qp.cone)
+        # SOC corrections converge geometrically per round (~30x); the
+        # default 2 rounds can stop a hair above an ABSOLUTE target and
+        # trip the capped f64 fallback — 4 rounds close it in f32, and
+        # converged rounds are skipped at runtime anyway.
+        s_soc = settings.replace(
+            recenter_rounds=max(settings.recenter_rounds, 4))
+        solb = solve_batch_shared(qpb, s_soc, x0=x0[None], z0=z0[None],
+                                  y0=y0[None])
+        return Solution(
+            x=solb.x[0], z=solb.z[0], y=solb.y[0],
+            status=solb.status[0], iters=solb.iters[0],
+            r_prim=solb.r_prim[0], r_dual=solb.r_dual[0],
+            obj=solb.obj[0], rho=solb.rho, history=solb.history)
 
     from .utils import aot
 

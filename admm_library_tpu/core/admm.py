@@ -78,6 +78,12 @@ class AdmmCarry(NamedTuple):
     r_dual: jax.Array
     x_chk: jax.Array            # x at previous check (dual-infeas delta)
     y_chk: jax.Array            # y at previous check (primal-infeas delta)
+    x_sum: jax.Array            # running iterate sums for restarted
+    z_sum: jax.Array            # averaging (Settings.restart_every);
+    y_sum: jax.Array            # accumulated at check cadence
+    avg_cnt: jax.Array          # int32 samples in the running sums
+    best_ratio: jax.Array       # best scaled residual ratio seen
+    since_best: jax.Array       # int32 checks since best improved
     hist: jax.Array             # (slots, 3) residual ring buffer
     hist_ptr: jax.Array
 
@@ -118,10 +124,47 @@ def iterate_block(qp, fac, x, z, y, rho_vec, settings, backend, k: int,
     return jax.lax.fori_loop(0, k, body, (x, z, y))
 
 
-def residuals(qp: QPData, scaling: Scaling, x, z, y):
+def l1_grad_scale(qp: QPData, scaling: Scaling):
+    """Unscaled per-problem L1 objective gradient bound (scalar).
+
+    max_j max_i λᵢ|A_l1[i, j]| — the largest dual-residual contribution
+    the L1 subgradient λᵀ∂|A_l1 x| can produce per column. Folded into
+    the norm_q scale (eps_d reference + rho-balancing denominator): on
+    min-fuel LPs the objective lives ENTIRELY in λ (P ≈ 0, q = 0), so
+    without this term the dual scale max(‖Px‖, ‖Aᵀy‖, ‖q‖) → 0 at the
+    optimum (Aᵀy → -q - Px ≈ 0) and the OSQP rho-balancing ratio
+    sqrt(sp/sd) collapses rho to rho_min (measured on the CW benchmark:
+    rho pinned at 1e-6, r_p stalled at 5e-2). Returns 0 when m_l1 == 0.
+    """
+    cone = qp.cone
+    if not cone.m_l1:
+        return jnp.zeros((), qp.dtype)
+    mb, ml = cone.m_box, cone.m_l1
+    cd_inv = 1.0 / (scaling.c * scaling.d)
+    lamA = jnp.max(
+        qp.lam[..., :, None] * jnp.abs(qp.A[..., mb:mb + ml, :]), axis=-2)
+    return linf(cd_inv * lamA)
+
+
+def l1_grad_scale_raw(qp: QPData):
+    """l1_grad_scale for UNSCALED data (no Scaling in hand): the final
+    f64 criterion checks of the staged/re-centered paths and the polish
+    acceptance test must use the SAME eps_d reference as the solver
+    loop, or a loop-SOLVED point gets vetoed downstream."""
+    cone = qp.cone
+    if not cone.m_l1:
+        return jnp.zeros((), qp.dtype)
+    mb, ml = cone.m_box, cone.m_l1
+    return jnp.max(
+        qp.lam[..., :, None] * jnp.abs(qp.A[..., mb:mb + ml, :]))
+
+
+def residuals(qp: QPData, scaling: Scaling, x, z, y, nlam=None):
     """Unscaled residual norms + eps_rel scale factors (A3).
 
-    Returns (r_prim, r_dual, norm_Ax, norm_z, norm_Px, norm_Aty, norm_q).
+    Returns (r_prim, r_dual, norm_Ax, norm_z, norm_Px, norm_Aty, norm_q)
+    where norm_q includes the L1 gradient scale (see l1_grad_scale;
+    pass a precomputed `nlam` to skip recomputing it per check).
     Inputs are SCALED iterates; outputs are UNSCALED norms.
     """
     einv = 1.0 / scaling.e
@@ -131,9 +174,12 @@ def residuals(qp: QPData, scaling: Scaling, x, z, y):
     Aty = xprec.einsum("...ji,...j->...i", qp.A, y)
     r_prim = linf(einv * (Ax - z))
     r_dual = linf(cd_inv * (Px + qp.q + Aty))
+    if nlam is None:
+        nlam = l1_grad_scale(qp, scaling)
     return (r_prim, r_dual,
             linf(einv * Ax), linf(einv * z),
-            linf(cd_inv * Px), linf(cd_inv * Aty), linf(cd_inv * qp.q))
+            linf(cd_inv * Px), linf(cd_inv * Aty),
+            jnp.maximum(linf(cd_inv * qp.q), nlam))
 
 
 def eps_thresholds(res, settings: Settings):
@@ -252,6 +298,21 @@ def infeasibility(qp: QPData, scaling: Scaling, dx_s, dy_s, settings):
     return primal_infeas, dual_infeas
 
 
+def restart_cadence_checks(settings: Settings) -> int:
+    """Restart boundary in units of residual checks (0 disables)."""
+    if settings.restart_every <= 0:
+        return 0
+    return max(1, settings.restart_every // settings.check_every)
+
+
+def scaled_resid_ratio(res, settings: Settings):
+    """max(r_p/eps_p, r_d/eps_d): the restart comparison metric — the
+    same mixed criterion termination uses, so 'better' means 'closer to
+    stopping'."""
+    eps_p, eps_d = eps_thresholds(res, settings)
+    return jnp.maximum(res[0] / eps_p, res[1] / eps_d)
+
+
 def adapt_rho(rho_bar, res, settings: Settings):
     """OSQP §5.2 residual-balancing rho update; returns (new_rho, changed)."""
     r_prim, r_dual, nAx, nz, nPx, nAty, nq = res
@@ -291,10 +352,15 @@ def run_admm(qp: QPData, scaling: Scaling, settings: Settings,
     carry0 = AdmmCarry(
         x=x0, z=z0, y=y0, rho_bar=rho0, fac=fac0,
         it=jnp.int32(0), status=_UNSOLVED, r_prim=big, r_dual=big,
-        x_chk=x0, y_chk=y0, hist=hist0, hist_ptr=jnp.int32(0))
+        x_chk=x0, y_chk=y0,
+        x_sum=jnp.zeros_like(x0), z_sum=jnp.zeros_like(z0),
+        y_sum=jnp.zeros_like(y0), avg_cnt=jnp.int32(0),
+        best_ratio=big, since_best=jnp.int32(0),
+        hist=hist0, hist_ptr=jnp.int32(0))
 
     k = settings.check_every
     interval_checks = max(1, settings.adaptive_rho_interval // k)
+    restart_checks = restart_cadence_checks(settings)
 
     def cond(c: AdmmCarry):
         return (c.status == _UNSOLVED) & (c.it < settings.max_iter)
@@ -307,6 +373,37 @@ def run_admm(qp: QPData, scaling: Scaling, settings: Settings,
         it = c.it + k
 
         res = residuals(qp, scaling, x, z, y)
+
+        # Restarted averaging (Settings.restart_every): accumulate the
+        # check-cadence iterate; at each restart boundary adopt the
+        # running average iff its scaled residuals beat the current
+        # iterate's (kills LP active-set chatter; monotone runs never
+        # take it). The average stays cone-feasible: box/SOC are convex
+        # sets and L1 rows are penalty rows.
+        x_sum = c.x_sum + x
+        z_sum = c.z_sum + z
+        y_sum = c.y_sum + y
+        cnt = c.avg_cnt + 1
+        if restart_checks:
+            boundary = (c.it // k) % restart_checks == restart_checks - 1
+
+            def try_restart(args):
+                x, z, y, res, xs, zs, ys, cnt = args
+                denom = jnp.maximum(cnt, 1).astype(dtype)
+                xa, za, ya = xs / denom, zs / denom, ys / denom
+                res_a = residuals(qp, scaling, xa, za, ya)
+                take = (scaled_resid_ratio(res_a, settings)
+                        < scaled_resid_ratio(res, settings))
+                pick = lambda a, b: jnp.where(take, a, b)
+                res_o = tuple(pick(ra, rc) for ra, rc in zip(res_a, res))
+                zero = lambda v: jnp.zeros_like(v)
+                return (pick(xa, x), pick(za, z), pick(ya, y), res_o,
+                        zero(xs), zero(zs), zero(ys), jnp.int32(0))
+
+            x, z, y, res, x_sum, z_sum, y_sum, cnt = jax.lax.cond(
+                boundary, try_restart, lambda a: a,
+                (x, z, y, res, x_sum, z_sum, y_sum, cnt))
+
         r_prim, r_dual = res[0], res[1]
         eps_p, eps_d = eps_thresholds(res, settings)
         solved = (r_prim <= eps_p) & (r_dual <= eps_d)
@@ -322,6 +419,17 @@ def run_admm(qp: QPData, scaling: Scaling, settings: Settings,
             jnp.where(solved, _SOLVED,
                       jnp.where(pinf, _PINF,
                                 jnp.where(dinf, _DINF, _UNSOLVED))))
+
+        # Stall exit (Settings.stall_checks): no new best scaled ratio
+        # for a whole window -> STALLED (chatter / precision floor).
+        ratio_now = scaled_resid_ratio(res, settings)
+        improved = ratio_now < c.best_ratio
+        best_ratio = jnp.minimum(ratio_now, c.best_ratio)
+        since_best = jnp.where(improved, 0, c.since_best + 1)
+        if settings.stall_checks > 0:
+            stalled = since_best >= settings.stall_checks
+            status = jnp.where((status == _UNSOLVED) & stalled,
+                               jnp.int32(int(Status.STALLED)), status)
 
         # Adaptive rho on its own cadence; refactor only when changed (A4).
         rho_bar, fac = c.rho_bar, c.fac
@@ -353,6 +461,8 @@ def run_admm(qp: QPData, scaling: Scaling, settings: Settings,
         return AdmmCarry(
             x=x, z=z, y=y, rho_bar=rho_bar, fac=fac, it=it, status=status,
             r_prim=r_prim, r_dual=r_dual, x_chk=x, y_chk=y,
+            x_sum=x_sum, z_sum=z_sum, y_sum=y_sum, avg_cnt=cnt,
+            best_ratio=best_ratio, since_best=since_best,
             hist=hist, hist_ptr=hist_ptr)
 
     final = jax.lax.while_loop(cond, body, carry0)

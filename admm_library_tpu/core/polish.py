@@ -131,6 +131,9 @@ def _polish_inner(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
         z = z.at[..., sl].set(jnp.where(act[..., sl], b[..., sl],
                                         Ax[..., sl]))
 
+    from .admm import l1_grad_scale_raw
+    nlam = l1_grad_scale_raw(qp)
+
     def _crit(xc, zc, yc):
         Axc = xprec.einsum("...ij,...j->...i", qp.A, xc)
         Pxc = xprec.einsum("...ij,...j->...i", qp.P, xc)
@@ -139,10 +142,13 @@ def _polish_inner(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
         r_d = jnp.max(jnp.abs(Pxc + qp.q + Atyc), axis=-1)
         eps_p = eps_abs + eps_rel * jnp.maximum(
             jnp.max(jnp.abs(Axc), axis=-1), jnp.max(jnp.abs(zc), axis=-1))
+        # eps_d reference matches the solver loop's (incl. the L1
+        # gradient scale — core.admm.l1_grad_scale) or polish would
+        # veto loop-SOLVED points on min-fuel LPs.
         eps_d = eps_abs + eps_rel * jnp.maximum(jnp.maximum(
             jnp.max(jnp.abs(Pxc), axis=-1),
             jnp.max(jnp.abs(Atyc), axis=-1)),
-            jnp.max(jnp.abs(qp.q), axis=-1))
+            jnp.maximum(jnp.max(jnp.abs(qp.q), axis=-1), nlam))
         return r_p, r_d, (r_p <= eps_p) & (r_d <= eps_d)
 
     r_p0, r_d0, solved0 = _crit(x0, z0, y0)

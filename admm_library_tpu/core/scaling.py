@@ -137,6 +137,9 @@ def ruiz_equilibrate_blocks(qp_blk: QPData, spec, iters: int):
         g = jnp.sqrt(left * right)
         return jnp.concatenate([local, g, g])
 
+    mb_box = spec.cone.m_box
+    ml1 = spec.cone.m_l1
+
     def body(_, carry):
         P, q, A, d, e, c = carry
         # Joint column norms over (block, row); P is (Bb, nb, nb).
@@ -150,9 +153,17 @@ def ruiz_equilibrate_blocks(qp_blk: QPData, spec, iters: int):
         A = de[None, :, None] * A * dx[None, None, :]
         d = d * dx
         e = e * de
-        gamma = 1.0 / jnp.maximum(
-            jnp.maximum(jnp.mean(jnp.max(jnp.abs(P), axis=(0, 1))),
-                        jnp.max(jnp.abs(q))), 1e-10)
+        # Cost normalisation incl. the L1 term (see ruiz_equilibrate:
+        # omitting λ̄·|Ā| lets c explode on min-fuel LPs and the scaled
+        # dual magnitudes break f32).
+        cost_scale = jnp.maximum(
+            jnp.mean(jnp.max(jnp.abs(P), axis=(0, 1))),
+            jnp.max(jnp.abs(q)))
+        if ml1:
+            lam_bar = c * qp_blk.lam / e[mb_box:mb_box + ml1]
+            cost_scale = jnp.maximum(cost_scale, jnp.max(jnp.abs(
+                lam_bar[..., :, None] * A[:, mb_box:mb_box + ml1, :])))
+        gamma = 1.0 / jnp.maximum(cost_scale, 1e-10)
         P = gamma * P
         q = gamma * q
         c = c * gamma
@@ -223,6 +234,8 @@ def ruiz_equilibrate(qp: QPData, iters: int):
         v = jnp.where((v < 1e-10) | ~jnp.isfinite(v), 1.0, v)
         return 1.0 / jnp.sqrt(v)
 
+    mb, ml = qp.cone.m_box, qp.cone.m_l1
+
     def body(_, carry):
         P, q, A, d, e, c = carry
         # Column norms of the symmetric KKT block for the x variables.
@@ -236,9 +249,21 @@ def ruiz_equilibrate(qp: QPData, iters: int):
         A = de[:, None] * A * dx[None, :]
         d = d * dx
         e = e * de
-        # Cost normalisation (OSQP Alg. 2).
-        gamma = 1.0 / jnp.maximum(
-            jnp.maximum(jnp.mean(norm_cols(P)), jnp.max(jnp.abs(q))), 1e-10)
+        # Cost normalisation (OSQP Alg. 2), extended with the L1 term:
+        # the scaled objective is ½x̄ᵀP̄x̄ + q̄ᵀx̄ + Σᵢ λ̄ᵢ|Āᵢx̄| with
+        # λ̄ = c·λ/e, so the per-column L1 gradient scale max_i λ̄ᵢ|Āᵢⱼ|
+        # belongs in the normaliser. OSQP has no penalty rows and omits
+        # it; on min-fuel LPs (P ≈ 0, q = 0) the bare P/q normaliser
+        # drives c to ~1/‖P‖ ≈ 1e6, scaled duals to ~1e6, and the f32
+        # dual-update rounding (~2⁻²⁴·1e6 ≈ 0.06 absolute) becomes a
+        # primal-residual FLOOR — the measured 50k-iteration stall of
+        # the CW benchmark at r_p ≈ 5e-2.
+        cost_scale = jnp.maximum(jnp.mean(norm_cols(P)), jnp.max(jnp.abs(q)))
+        if ml:
+            lam_bar = c * qp.lam / e[mb:mb + ml]
+            cost_scale = jnp.maximum(cost_scale, jnp.max(
+                norm_cols(lam_bar[:, None] * A[mb:mb + ml, :])))
+        gamma = 1.0 / jnp.maximum(cost_scale, 1e-10)
         P = gamma * P
         q = gamma * q
         c = c * gamma

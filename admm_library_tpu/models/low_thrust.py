@@ -32,11 +32,25 @@ from .clohessy_wiltshire import cw_stm
 
 @dataclasses.dataclass(frozen=True)
 class LowThrustSpec:
-    """Static description of the low-thrust SOCP instance."""
+    """Static description of the low-thrust SOCP instance.
+
+    The QP is built in CANONICAL (nondimensional) units — the standard
+    astrodynamics practice (cf. Vallado's canonical units): length unit
+    LU = ‖r0‖ (the initial separation), time unit TU = 1/n_mean (so the
+    nondimensional mean motion is 1). All problem data is then O(1),
+    which makes the ABSOLUTE eps_abs stopping criterion physically
+    meaningful (1e-6 ≈ millimetres at LU ~ km) instead of demanding
+    5e-10 RELATIVE precision of f32/f64 iterations on metre-scaled
+    states (the round-2 bench reported r_prim 8e-4 on this config for
+    exactly that reason). `x` solutions are nondimensional; the
+    helpers below (thrust_profile, rollout) convert back to SI.
+    """
 
     N: int
-    dt: float
-    n_mean: float
+    dt: float                   # node spacing [s] (dimensional)
+    n_mean: float               # mean motion [rad/s] (dimensional)
+    lu: float = 1.0             # length unit [m]
+    tu: float = 1.0             # time unit [s]
 
     @property
     def block(self) -> int:
@@ -45,6 +59,16 @@ class LowThrustSpec:
     @property
     def n(self) -> int:
         return self.N * self.block
+
+    def state_to_nd(self, s):
+        """SI state (m, m/s) -> nondimensional (LU, LU/TU)."""
+        s = np.asarray(s, np.float64)
+        return np.concatenate([s[..., :3] / self.lu,
+                               s[..., 3:] * (self.tu / self.lu)], -1)
+
+    def accel_from_nd(self, u_nd):
+        """Nondimensional control (LU/TU^2) -> SI accel (m/s^2)."""
+        return u_nd * (self.lu / self.tu ** 2)
 
 
 def _zoh_control_matrix(n_mean: float, dt: float, order: int = 24):
@@ -75,14 +99,22 @@ def build_low_thrust_socp(s0, s_target=None, N: int = 200, dt: float = 60.0,
     dynamics rows' bounds -> Monte-Carlo dispersions share (P, q, A)
     (shared-matrix fast path, SURVEY.md §3.2); see `lt_bounds_for_s0`.
     """
-    spec = LowThrustSpec(N=N, dt=dt, n_mean=n_mean)
-    b = spec.block
-    nvar = spec.n
     s0 = np.asarray(s0, np.float64)
     s_t = (np.zeros(6) if s_target is None
            else np.asarray(s_target, np.float64))
-    F = cw_stm(n_mean, dt)
-    G = _zoh_control_matrix(n_mean, dt)
+    # Canonical units: LU = initial separation, TU = 1/n (nondim mean
+    # motion = 1). See LowThrustSpec docstring.
+    lu = max(float(np.linalg.norm(s0[:3])), 1.0)
+    tu = 1.0 / n_mean
+    spec = LowThrustSpec(N=N, dt=dt, n_mean=n_mean, lu=lu, tu=tu)
+    b = spec.block
+    nvar = spec.n
+    s0 = spec.state_to_nd(s0)
+    s_t = spec.state_to_nd(s_t)
+    dt_nd = dt / tu
+    u_max = u_max * tu ** 2 / lu
+    F = cw_stm(1.0, dt_nd)
+    G = _zoh_control_matrix(1.0, dt_nd)
 
     def u_idx(k):
         return k * b
@@ -99,7 +131,7 @@ def build_low_thrust_socp(s0, s_target=None, N: int = 200, dt: float = 60.0,
     for k in range(N):
         Pd[u_idx(k):u_idx(k) + 3] = ctrl_reg
         Pd[g_idx(k)] = ctrl_reg
-        q[g_idx(k)] = dt
+        q[g_idx(k)] = dt_nd
     P = np.diag(Pd)
 
     # --- constraint rows ---
@@ -156,10 +188,12 @@ def build_low_thrust_socp(s0, s_target=None, N: int = 200, dt: float = 60.0,
 def lt_bounds_for_s0(qp: QPData, spec: LowThrustSpec, s0):
     """Rebuild (l, u) for a dispersed initial state; P, q, A unchanged.
 
-    Monte-Carlo hook (M6). Supports batched s0 (..., 6).
+    Monte-Carlo hook (M6). Supports batched s0 (..., 6); s0 is SI and
+    is nondimensionalised with the spec's canonical units.
     """
-    F = jnp.asarray(cw_stm(spec.n_mean, spec.dt), qp.dtype)
-    rhs = jnp.einsum("ij,...j->...i", F, jnp.asarray(s0, qp.dtype))
+    F = jnp.asarray(cw_stm(1.0, spec.dt / spec.tu), qp.dtype)
+    rhs = jnp.einsum("ij,...j->...i", F,
+                     jnp.asarray(spec.state_to_nd(s0), qp.dtype))
     batch = rhs.shape[:-1]
     l = jnp.broadcast_to(qp.l, batch + qp.l.shape[-1:])
     u = jnp.broadcast_to(qp.u, batch + qp.u.shape[-1:])
@@ -169,7 +203,10 @@ def lt_bounds_for_s0(qp: QPData, spec: LowThrustSpec, s0):
 
 
 def thrust_profile(spec: LowThrustSpec, x):
-    """Extract (u (N,3), Gamma (N,)) from the solution vector."""
+    """Extract (u (N,3), Gamma (N,)) from the solution vector.
+
+    Values are NONDIMENSIONAL (LU/TU^2); convert to SI accel with
+    spec.accel_from_nd. Cone feasibility ‖u‖ <= Gamma is unit-free."""
     b = spec.block
     blocks = x.reshape(x.shape[:-1] + (spec.N, b))
     return blocks[..., :3], blocks[..., 3]
@@ -178,12 +215,13 @@ def thrust_profile(spec: LowThrustSpec, x):
 def rollout(spec: LowThrustSpec, s0, x):
     """Integrate the discrete dynamics under the solved controls.
 
-    Returns states (N+1, 6); independent physics check (SURVEY.md §4.2).
+    Returns NONDIMENSIONAL states (N+1, 6); s0 is SI. Independent
+    physics check (SURVEY.md §4.2).
     """
-    F = jnp.asarray(cw_stm(spec.n_mean, spec.dt), x.dtype)
-    G = jnp.asarray(_zoh_control_matrix(spec.n_mean, spec.dt), x.dtype)
+    F = jnp.asarray(cw_stm(1.0, spec.dt / spec.tu), x.dtype)
+    G = jnp.asarray(_zoh_control_matrix(1.0, spec.dt / spec.tu), x.dtype)
     us, _ = thrust_profile(spec, x)
-    s = jnp.asarray(s0, x.dtype)
+    s = jnp.asarray(spec.state_to_nd(s0), x.dtype)
     out = [s]
     for k in range(spec.N):
         s = F @ s + G @ us[k]

@@ -75,6 +75,21 @@ def auto_lane_tile(shared_bytes: int, per_lane_bytes: int,
     return max(8, (tile // 8) * 8)
 
 
+def fused_fits(n: int, m: int, cone: ConeSpec, dtype) -> bool:
+    """True when the fused kernel's shared operands + an 8-lane tile fit
+    the VMEM budget — callers fall back to the plain-XLA iteration body
+    instead of raising mid-trace (e.g. the N=200 low-thrust SOCP's
+    2000x2000 inverse alone is 16 MiB)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    shared = 2 * m * n + 2 * n * n + n + m           # A, At, Minv, M, q, rho
+    if cone.m_l1:
+        shared += cone.m_l1
+    if cone.m_soc:
+        shared += 2 * cone.m_soc * cone.n_soc        # S, H selectors
+    per_lane = (8 * n + 16 * m) * itemsize
+    return VMEM_BUDGET_BYTES - shared * itemsize >= 8 * per_lane
+
+
 def soc_selectors(cone: ConeSpec, dtype):
     """Static (m_soc, n_soc) membership / head 0-1 selector matrices."""
     m_soc, n_soc = cone.m_soc, cone.n_soc

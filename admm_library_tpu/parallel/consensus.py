@@ -106,6 +106,12 @@ class ConsensusCarry(NamedTuple):
     status: jax.Array       # scalar (global)
     r_prim: jax.Array
     r_dual: jax.Array
+    x_sum: jax.Array        # running iterate sums for restarted
+    z_sum: jax.Array        # averaging (Settings.restart_every)
+    y_sum: jax.Array
+    avg_cnt: jax.Array
+    x_chk: jax.Array        # iterates at the previous check (A6 deltas)
+    y_chk: jax.Array
     hist: jax.Array         # (slots, 3) residual ring buffer
     hist_ptr: jax.Array
 
@@ -151,6 +157,135 @@ def _linf_scen(v, axis: str):
     """Per-scenario inf-norm: max over the trailing (blocks, rows) axes
     locally, then pmax over the horizon mesh axis."""
     return _pmax(jnp.max(jnp.abs(v), axis=(-2, -1)), axis)
+
+
+def infeasibility_blocks(qp_blk: QPData, spec: ConsensusSpec,
+                         settings: Settings, axis: str, block_ids,
+                         scaling_vecs, dx, dy):
+    """OSQP §3.4 infeasibility certificates for the block-partitioned
+    problem (A6 on P2; VERDICT r2 item 5). dx (..., S, nb) and dy
+    (..., S, mb) are SCALED iterate deltas over a check interval; any
+    leading scenario axis broadcasts, and the trailing (block, row)
+    axes reduce locally + across the horizon mesh axis, so every device
+    returns identical per-scenario verdicts.
+
+    The block problem's constraint set is: local cones on local rows,
+    equality bounds on the END edge rows, and the pairwise AGREEMENT
+    subspace on interior edge rows. Certificate conditions follow:
+      primal (ray dy):  ‖A_bᵀdy_b‖∞ ≈ 0 per block;
+                        dy_R(b) + dy_L(b+1) ≈ 0 on agreement pairs
+                        (the subspace's dual is its orthogonal
+                        complement, the ANTI-diagonal);
+                        support over local rows + end equalities < 0.
+      dual (ray dx):    ‖P dx‖∞ ≈ 0; qᵀdx < 0;
+                        (A dx) in the recession cone of local rows;
+                        (A dx) = 0 on end equalities;
+                        (A dx)_R(b) = (A dx)_L(b+1) on agreement pairs.
+    """
+    ml, ns = spec.m_local, spec.ns
+    cone = spec.cone
+    dtype = dx.dtype
+    d_s, e_s, c_s = scaling_vecs
+    einv = 1.0 / e_s
+    cd_inv = 1.0 / (c_s * d_s)
+    eps_pi = jnp.asarray(settings.eps_pinf, dtype)
+    eps_di = jnp.asarray(settings.eps_dinf, dtype)
+    tiny = jnp.finfo(dtype).tiny
+    mbl = cone.m_box + cone.m_l1
+    is_first = (block_ids == 0)[:, None]
+    is_last = (block_ids == spec.n_blocks - 1)[:, None]
+
+    def linf_g(v):
+        return _linf_scen(v, axis)
+
+    def sum_g(v):
+        return jax.lax.psum(jnp.sum(v, axis=(-2, -1)), axis)
+
+    # ---- primal infeasibility from dy ----
+    dy_u = (e_s / c_s) * dy
+    ndy = linf_g(dy_u)
+    dyn = dy_u / jnp.maximum(ndy, tiny)[..., None, None]
+    Aty = xprec.einsum("...ji,...j->...i", qp_blk.A,
+                       (c_s / e_s) * dyn) * cd_inv
+    cond_A = linf_g(Aty) <= eps_pi
+    # Pair condition on agreement rows (masked on end blocks).
+    dyn_L, dyn_R = dyn[..., ml:ml + ns], dyn[..., ml + ns:]
+    pair = dyn_R + _neighbor_next(dyn_L, axis)
+    pair = jnp.where(is_last, 0.0, pair)
+    cond_pair = linf_g(pair) <= eps_pi
+    # Support: local box(+L1) rows + END equality edge rows.
+    lu_l = qp_blk.l * einv
+    lu_u = qp_blk.u * einv
+    big = jnp.asarray(jnp.inf, dtype)
+
+    def support(rows_dyn, rows_l, rows_u, mask):
+        pos = rows_dyn > eps_pi
+        neg = rows_dyn < -eps_pi
+        up = jnp.where(pos, jnp.where(jnp.isfinite(rows_u),
+                                      rows_u * rows_dyn, big), 0.0)
+        lo = jnp.where(neg, jnp.where(jnp.isfinite(rows_l),
+                                      rows_l * rows_dyn, big), 0.0)
+        return sum_g(jnp.where(mask, up + lo, 0.0))
+
+    sup = support(dyn[..., :mbl], lu_l[..., :mbl], lu_u[..., :mbl], True)
+    sup = sup + support(dyn[..., ml:ml + ns], lu_l[..., ml:ml + ns],
+                        lu_u[..., ml:ml + ns], is_first)
+    sup = sup + support(dyn[..., ml + ns:], lu_l[..., ml + ns:],
+                        lu_u[..., ml + ns:], is_last)
+    if cone.m_soc:
+        d_soc = cone.soc_dims[0]
+        soc = dyn[..., mbl:ml]
+        blk = soc.reshape(soc.shape[:-1] + (cone.n_soc, d_soc))
+        ok = (jnp.linalg.norm(blk[..., 1:], axis=-1)
+              <= -blk[..., 0] + eps_pi)
+        nbad = jax.lax.psum(
+            jnp.sum((~ok).astype(jnp.int32), axis=(-2, -1)), axis)
+        sup = jnp.where(nbad > 0, jnp.inf, sup)
+    pinf = (ndy > 0) & cond_A & cond_pair & (sup <= eps_pi)
+
+    # ---- dual infeasibility from dx ----
+    dx_u = d_s * dx
+    ndx = linf_g(dx_u)
+    dxn = dx_u / jnp.maximum(ndx, tiny)[..., None, None]
+    Pdx = xprec.einsum("...ij,...j->...i", qp_blk.P, dxn / d_s) * cd_inv
+    cond_P = linf_g(Pdx) <= eps_di
+    Adx = einv * xprec.einsum("...ij,...j->...i", qp_blk.A, dxn / d_s)
+    qdx = sum_g((cd_inv * qp_blk.q) * dxn)
+    if cone.m_l1:
+        sl = slice(cone.m_box, mbl)
+        lam_u = qp_blk.lam * e_s[sl] / c_s
+        qdx = qdx + sum_g(lam_u * jnp.abs(Adx[..., sl]))
+    cond_q = qdx <= -eps_di
+
+    def recession_ok(rows_Adx, rows_l, rows_u, mask):
+        ok_up = (rows_Adx <= eps_di) | ~jnp.isfinite(rows_u)
+        ok_lo = (rows_Adx >= -eps_di) | ~jnp.isfinite(rows_l)
+        nbad = jax.lax.psum(jnp.sum(
+            (mask & ~(ok_up & ok_lo)).astype(jnp.int32), axis=(-2, -1)),
+            axis)
+        return nbad == 0
+
+    cond_box = recession_ok(Adx[..., :mbl], lu_l[..., :mbl],
+                            lu_u[..., :mbl], jnp.asarray(True))
+    cond_box &= recession_ok(Adx[..., ml:ml + ns], lu_l[..., ml:ml + ns],
+                             lu_u[..., ml:ml + ns], is_first)
+    cond_box &= recession_ok(Adx[..., ml + ns:], lu_l[..., ml + ns:],
+                             lu_u[..., ml + ns:], is_last)
+    AdxL, AdxR = Adx[..., ml:ml + ns], Adx[..., ml + ns:]
+    dpair = AdxR - _neighbor_next(AdxL, axis)
+    dpair = jnp.where(is_last, 0.0, dpair)
+    cond_dpair = linf_g(dpair) <= eps_di
+    cond_soc = jnp.asarray(True)
+    if cone.m_soc:
+        d_soc = cone.soc_dims[0]
+        soc = Adx[..., mbl:ml]
+        blk = soc.reshape(soc.shape[:-1] + (cone.n_soc, d_soc))
+        ok = (jnp.linalg.norm(blk[..., 1:], axis=-1)
+              <= blk[..., 0] + eps_di)
+        cond_soc = jax.lax.psum(jnp.sum(
+            (~ok).astype(jnp.int32), axis=(-2, -1)), axis) == 0
+    dinf = (ndx > 0) & cond_P & cond_q & cond_box & cond_dpair & cond_soc
+    return pinf, dinf
 
 
 def consensus_body(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
@@ -257,15 +392,56 @@ def run_consensus(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
             settings.band_block), rv
 
     fac0, _ = factor(rho0)
+    # L1 gradient scale for the dual-norm reference (see
+    # core.admm.l1_grad_scale — prevents the rho-balancing collapse on
+    # min-fuel LPs). Block-local L1 rows live at [m_box, m_box+m_l1) of
+    # the local segment; pmax over the horizon axis for the global max.
+    cone_loc = spec.cone
+    if cone_loc.m_l1:
+        mb_box = cone_loc.m_box
+        lamA = jnp.max(
+            qp_blk.lam[..., :, None]
+            * jnp.abs(qp_blk.A[..., mb_box:mb_box + cone_loc.m_l1, :]),
+            axis=(-3, -2))
+        nlam = _pmax(jnp.max(jnp.abs(cd_inv * lamA)), axis)
+    else:
+        nlam = jnp.zeros((), dtype)
     big = jnp.asarray(jnp.inf, dtype)
     slots = max(settings.history, 0)
     carry0 = ConsensusCarry(
         x=x0, z=z0, y=y0, rho_bar=rho0, fac=fac0, it=jnp.int32(0),
         status=_UNSOLVED, r_prim=big, r_dual=big,
+        x_sum=jnp.zeros_like(x0), z_sum=jnp.zeros_like(z0),
+        y_sum=jnp.zeros_like(y0), avg_cnt=jnp.int32(0),
+        x_chk=x0, y_chk=y0,
         hist=jnp.full((slots, 3), -1.0, dtype), hist_ptr=jnp.int32(0))
+    use_cert = settings.eps_pinf > 0 or settings.eps_dinf > 0
 
     k = settings.check_every
     interval_checks = max(1, settings.adaptive_rho_interval // k)
+    restart_checks = settings.restart_every and max(
+        1, settings.restart_every // k)
+
+    def global_res(x, z, y):
+        """Globally-reduced unscaled residual norms (7-tuple)."""
+        Ax = xprec.einsum("sij,sj->si", qp_blk.A, x)
+        Px = xprec.einsum("sij,sj->si", qp_blk.P, x)
+        Aty = xprec.einsum("sji,sj->si", qp_blk.A, y)
+        r_prim = _linf_global(einv * (Ax - z), axis)
+        r_dual = _linf_global(cd_inv * (Px + qp_blk.q + Aty), axis)
+        nAx = _linf_global(einv * Ax, axis)
+        nz = _linf_global(einv * z, axis)
+        nPx = _linf_global(cd_inv * Px, axis)
+        nAty = _linf_global(cd_inv * Aty, axis)
+        nq = jnp.maximum(_linf_global(cd_inv * qp_blk.q, axis), nlam)
+        return r_prim, r_dual, nAx, nz, nPx, nAty, nq
+
+    def scaled_ratio(res):
+        r_prim, r_dual, nAx, nz, nPx, nAty, nq = res
+        eps_p = settings.eps_abs + settings.eps_rel * jnp.maximum(nAx, nz)
+        eps_d = settings.eps_abs + settings.eps_rel * jnp.maximum(
+            jnp.maximum(nPx, nAty), nq)
+        return jnp.maximum(r_prim / eps_p, r_dual / eps_d), eps_p, eps_d
 
     def cond(c: ConsensusCarry):
         return (c.status == _UNSOLVED) & (c.it < settings.max_iter)
@@ -281,16 +457,49 @@ def run_consensus(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
         x, z, y = jax.lax.fori_loop(0, k, inner, (c.x, c.z, c.y))
         it = c.it + k
 
-        Ax = xprec.einsum("sij,sj->si", qp_blk.A, x)
-        Px = xprec.einsum("sij,sj->si", qp_blk.P, x)
-        Aty = xprec.einsum("sji,sj->si", qp_blk.A, y)
-        r_prim = _linf_global(einv * (Ax - z), axis)
-        r_dual = _linf_global(cd_inv * (Px + qp_blk.q + Aty), axis)
-        nAx = _linf_global(einv * Ax, axis)
-        nz = _linf_global(einv * z, axis)
-        nPx = _linf_global(cd_inv * Px, axis)
-        nAty = _linf_global(cd_inv * Aty, axis)
-        nq = _linf_global(cd_inv * qp_blk.q, axis)
+        res = global_res(x, z, y)
+
+        # Certificates use PRE-restart deltas (a restart replaces the
+        # iterate with a window average, which wrecks the delta ray of
+        # a divergent run) — computed here, applied to status below.
+        if use_cert:
+            pinf, dinf = infeasibility_blocks(
+                qp_blk, spec, settings, axis, block_ids,
+                (d_s, e_s, c_s), x - c.x_chk, y - c.y_chk)
+        x_chk_new, y_chk_new = x, y
+
+        # Restarted averaging (Settings.restart_every; cf. core.admm.
+        # run_admm). The scaled-ratio comparison uses globally-reduced
+        # norms, so every device computes the identical take decision —
+        # the restart stays bitwise-replicated across the mesh. The
+        # average preserves the agreement-row pairing (both copies
+        # averaged identically on both devices).
+        x_sum = c.x_sum + x
+        z_sum = c.z_sum + z
+        y_sum = c.y_sum + y
+        cnt = c.avg_cnt + 1
+        if restart_checks:
+            boundary = (c.it // k) % restart_checks == restart_checks - 1
+
+            def try_restart(args):
+                x, z, y, res, xs, zs, ys, cnt = args
+                denom = jnp.maximum(cnt, 1).astype(dtype)
+                xa, za, ya = xs / denom, zs / denom, ys / denom
+                res_a = global_res(xa, za, ya)
+                take = scaled_ratio(res_a)[0] < scaled_ratio(res)[0]
+                pick = lambda a, b: jnp.where(take, a, b)
+                res_o = tuple(pick(ra, rc)
+                              for ra, rc in zip(res_a[:6], res[:6])
+                              ) + (res[6],)
+                zero = lambda v: jnp.zeros_like(v)
+                return (pick(xa, x), pick(za, z), pick(ya, y), res_o,
+                        zero(xs), zero(zs), zero(ys), jnp.int32(0))
+
+            x, z, y, res, x_sum, z_sum, y_sum, cnt = jax.lax.cond(
+                boundary, try_restart, lambda a: a,
+                (x, z, y, res, x_sum, z_sum, y_sum, cnt))
+
+        r_prim, r_dual, nAx, nz, nPx, nAty, nq = res
         eps_p = settings.eps_abs + settings.eps_rel * jnp.maximum(nAx, nz)
         eps_d = settings.eps_abs + settings.eps_rel * jnp.maximum(
             jnp.maximum(nPx, nAty), nq)
@@ -299,6 +508,13 @@ def run_consensus(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
         status = jnp.where(
             numerr, jnp.int32(int(Status.NUMERICAL_ERROR)),
             jnp.where(solved, _SOLVED, _UNSOLVED))
+        if use_cert:
+            status = jnp.where(
+                status == _UNSOLVED,
+                jnp.where(pinf, jnp.int32(int(Status.PRIMAL_INFEASIBLE)),
+                          jnp.where(dinf,
+                                    jnp.int32(int(Status.DUAL_INFEASIBLE)),
+                                    status)), status)
 
         rho_bar, fac = c.rho_bar, c.fac
         if settings.adaptive_rho:
@@ -331,7 +547,10 @@ def run_consensus(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
 
         return ConsensusCarry(
             x=x, z=z, y=y, rho_bar=rho_bar, fac=fac, it=it, status=status,
-            r_prim=r_prim, r_dual=r_dual, hist=hist, hist_ptr=hist_ptr)
+            r_prim=r_prim, r_dual=r_dual,
+            x_sum=x_sum, z_sum=z_sum, y_sum=y_sum, avg_cnt=cnt,
+            x_chk=x_chk_new, y_chk=y_chk_new,
+            hist=hist, hist_ptr=hist_ptr)
 
     final = jax.lax.while_loop(cond, body, carry0)
     status = jnp.where(
@@ -471,7 +690,11 @@ def recentered_rounds_blocks(qp_blk: QPData, spec: ConsensusSpec,
     s_c = settings.replace(
         precision="single",
         sigma=max(settings.sigma, 1e-5),
-        rho_eq_scale=min(settings.rho_eq_scale, 1e2))
+        rho_eq_scale=min(settings.rho_eq_scale, 1e2),
+        # Correction problems are feasible by construction; their rows
+        # mix shifted and original domains, so certificates there are
+        # meaningless — disable (cf. api._recentered_rounds).
+        eps_pinf=0.0, eps_dinf=0.0)
 
     # Active-set mask for the dual baseline: edge rows are equality-like
     # (dual unconstrained — always kept); local rows keep their dual
@@ -489,6 +712,9 @@ def recentered_rounds_blocks(qp_blk: QPData, spec: ConsensusSpec,
                            qp64.u - z <= act_tol * scale, False)
         return jnp.where(near_l | near_u | edge, y, 0.0)
 
+    from ..core.admm import l1_grad_scale_raw
+    nlam64 = l1_grad_scale_raw(qp64)
+
     def true_resid(x_t, y_t, z_t):
         Ax = xprec.einsum("...ij,...j->...i", qp64.A, x_t)
         Px = xprec.einsum("...ij,...j->...i", qp64.P, x_t)
@@ -500,9 +726,11 @@ def recentered_rounds_blocks(qp_blk: QPData, spec: ConsensusSpec,
         r_d = linf(Px + qp64.q + Aty)
         eps_p = settings.eps_abs + settings.eps_rel * jnp.maximum(
             linf(Ax), linf(z_t))
+        # eps_d reference incl. the L1 gradient scale (matches the
+        # solver loop — core.admm.l1_grad_scale).
         eps_d = settings.eps_abs + settings.eps_rel * jnp.maximum(
             jnp.maximum(linf(Px), linf(Aty)),
-            jnp.max(jnp.abs(qp64.q)))
+            jnp.maximum(jnp.max(jnp.abs(qp64.q)), nlam64))
         solved = (r_p <= eps_p) & (r_d <= eps_d)
         return Ax, Px, r_p, r_d, solved
 

@@ -107,6 +107,18 @@ def run_consensus_mc(qp_blk: QPData, spec: ConsensusSpec,
             settings.band_block)
 
     fac0 = factor(rho0)
+    # L1 gradient scale for the dual-norm reference (core.admm.
+    # l1_grad_scale rationale): shared across scenarios (lam/A shared).
+    cone_loc = spec.cone
+    if cone_loc.m_l1:
+        mbx = cone_loc.m_box
+        lamA = jnp.max(
+            qp_blk.lam[..., :, None]
+            * jnp.abs(qp_blk.A[..., mbx:mbx + cone_loc.m_l1, :]),
+            axis=(-3, -2))
+        nlam = _pmax(jnp.max(jnp.abs(cd_inv * lamA)), horizon_axis)
+    else:
+        nlam = jnp.zeros((), dtype)
     big = jnp.full((B_loc,), jnp.inf, dtype)
     k = settings.check_every
     interval_checks = max(1, settings.adaptive_rho_interval // k)
@@ -116,7 +128,34 @@ def run_consensus_mc(qp_blk: QPData, spec: ConsensusSpec,
     carry0 = (x0, z0, y0, rho0, fac0, jnp.int32(0),
               jnp.zeros((B_loc,), jnp.int32),
               jnp.full((B_loc,), _UNSOLVED), big, big,
-              jnp.asarray(True), hist0, jnp.int32(0))
+              jnp.asarray(True), hist0, jnp.int32(0),
+              jnp.zeros_like(x0), jnp.zeros_like(z0), jnp.zeros_like(y0),
+              jnp.int32(0), x0, y0)
+    restart_checks = settings.restart_every and max(
+        1, settings.restart_every // k)
+    use_cert = settings.eps_pinf > 0 or settings.eps_dinf > 0
+
+    def scen_res(x, z, y):
+        """Per-scenario unscaled residual norms (7-tuple of (B_loc,))."""
+        Ax = xprec.einsum("...ij,...j->...i", qp_blk.A, x)
+        Px = xprec.einsum("...ij,...j->...i", qp_blk.P, x)
+        Aty = xprec.einsum("...ji,...j->...i", qp_blk.A, y)
+        r_p = _linf_scen(einv * (Ax - z), horizon_axis)     # (B_loc,)
+        r_d = _linf_scen(cd_inv * (Px + qp_blk.q + Aty), horizon_axis)
+        nAx = _linf_scen(einv * Ax, horizon_axis)
+        nz = _linf_scen(einv * z, horizon_axis)
+        nPx = _linf_scen(cd_inv * Px, horizon_axis)
+        nAty = _linf_scen(cd_inv * Aty, horizon_axis)
+        nq = jnp.maximum(
+            _pmax(jnp.max(jnp.abs(cd_inv * qp_blk.q)), horizon_axis), nlam)
+        return r_p, r_d, nAx, nz, nPx, nAty, nq
+
+    def scaled_ratio(res):
+        r_p, r_d, nAx, nz, nPx, nAty, nq = res
+        eps_p = settings.eps_abs + settings.eps_rel * jnp.maximum(nAx, nz)
+        eps_d = settings.eps_abs + settings.eps_rel * jnp.maximum(
+            jnp.maximum(nPx, nAty), nq)
+        return jnp.maximum(r_p / eps_p, r_d / eps_d)
 
     def cond(c):
         # `alive` is the psum-reduced liveness computed in the BODY —
@@ -127,7 +166,8 @@ def run_consensus_mc(qp_blk: QPData, spec: ConsensusSpec,
 
     def body(c):
         (x, z, y, rho_bar, fac, it, iters_sc, status, r_p_old, r_d_old,
-         _alive, hist, hist_ptr) = c
+         _alive, hist, hist_ptr, x_sum, z_sum, y_sum, avg_cnt,
+         x_chk, y_chk) = c
         rho_vec = rho_vec_of(rho_bar)
         active = status == _UNSOLVED
 
@@ -144,16 +184,47 @@ def run_consensus_mc(qp_blk: QPData, spec: ConsensusSpec,
         it = it + k
         iters_sc = iters_sc + jnp.where(active, k, 0)
 
-        Ax = xprec.einsum("...ij,...j->...i", qp_blk.A, x)
-        Px = xprec.einsum("...ij,...j->...i", qp_blk.P, x)
-        Aty = xprec.einsum("...ji,...j->...i", qp_blk.A, y)
-        r_p = _linf_scen(einv * (Ax - z), horizon_axis)     # (B_loc,)
-        r_d = _linf_scen(cd_inv * (Px + qp_blk.q + Aty), horizon_axis)
-        nAx = _linf_scen(einv * Ax, horizon_axis)
-        nz = _linf_scen(einv * z, horizon_axis)
-        nPx = _linf_scen(cd_inv * Px, horizon_axis)
-        nAty = _linf_scen(cd_inv * Aty, horizon_axis)
-        nq = _pmax(jnp.max(jnp.abs(cd_inv * qp_blk.q)), horizon_axis)
+        res = scen_res(x, z, y)
+
+        # Per-scenario certificates from PRE-restart deltas (cf.
+        # consensus.run_consensus; a restart wrecks the delta ray).
+        if use_cert:
+            from .consensus import infeasibility_blocks
+            pinf, dinf = infeasibility_blocks(
+                qp_blk, spec, settings, horizon_axis, block_ids,
+                (d_s, e_s, c_s), x - x_chk, y - y_chk)
+        x_chk, y_chk = x, y
+
+        # Per-scenario restarted averaging (Settings.restart_every).
+        # Norms are horizon-pmax-reduced, so the per-scenario take
+        # decision is identical on every horizon-axis device.
+        x_sum = x_sum + x
+        z_sum = z_sum + z
+        y_sum = y_sum + y
+        avg_cnt = avg_cnt + 1
+        if restart_checks:
+            boundary = (it // k - 1) % restart_checks == restart_checks - 1
+
+            def try_restart(args):
+                x, z, y, res, xs, zs, ys, cnt = args
+                denom = jnp.maximum(cnt, 1).astype(dtype)
+                xa, za, ya = xs / denom, zs / denom, ys / denom
+                res_a = scen_res(xa, za, ya)
+                take = active & (scaled_ratio(res_a) < scaled_ratio(res))
+                tsc = take[:, None, None]
+                res_o = tuple(jnp.where(take, ra, rc)
+                              for ra, rc in zip(res_a[:6], res[:6])
+                              ) + (res[6],)
+                zero = lambda v: jnp.zeros_like(v)
+                return (jnp.where(tsc, xa, x), jnp.where(tsc, za, z),
+                        jnp.where(tsc, ya, y), res_o,
+                        zero(xs), zero(zs), zero(ys), jnp.int32(0))
+
+            x, z, y, res, x_sum, z_sum, y_sum, avg_cnt = jax.lax.cond(
+                boundary, try_restart, lambda a: a,
+                (x, z, y, res, x_sum, z_sum, y_sum, avg_cnt))
+
+        r_p, r_d, nAx, nz, nPx, nAty, nq = res
         eps_p = settings.eps_abs + settings.eps_rel * jnp.maximum(nAx, nz)
         eps_d = settings.eps_abs + settings.eps_rel * jnp.maximum(
             jnp.maximum(nPx, nAty), nq)
@@ -162,6 +233,13 @@ def run_consensus_mc(qp_blk: QPData, spec: ConsensusSpec,
         new_status = jnp.where(
             numerr, jnp.int32(int(Status.NUMERICAL_ERROR)),
             jnp.where(solved, _SOLVED, _UNSOLVED))
+        if use_cert:
+            new_status = jnp.where(
+                new_status == _UNSOLVED,
+                jnp.where(pinf, jnp.int32(int(Status.PRIMAL_INFEASIBLE)),
+                          jnp.where(dinf,
+                                    jnp.int32(int(Status.DUAL_INFEASIBLE)),
+                                    new_status)), new_status)
         status = jnp.where(active, new_status, status)
         r_p = jnp.where(active, r_p, r_p_old)
         r_d = jnp.where(active, r_d, r_d_old)
@@ -207,11 +285,12 @@ def run_consensus_mc(qp_blk: QPData, spec: ConsensusSpec,
             hist_ptr = hist_ptr + 1
 
         return (x, z, y, rho_bar, fac, it, iters_sc, status, r_p, r_d,
-                alive, hist, hist_ptr)
+                alive, hist, hist_ptr, x_sum, z_sum, y_sum, avg_cnt,
+                x_chk, y_chk)
 
     final = jax.lax.while_loop(cond, body, carry0)
     (x, z, y, rho_bar, _, it, iters_sc, status, r_p, r_d, _, hist,
-     _hp) = final
+     _hp, *_sums) = final
     status = jnp.where(
         status == _UNSOLVED, jnp.int32(int(Status.MAX_ITER)), status)
     return x, z, y, status, iters_sc, r_p, r_d, rho_bar, hist

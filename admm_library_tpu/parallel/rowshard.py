@@ -165,6 +165,16 @@ def solve_rowsharded(qp: QPData, mesh: Mesh, settings: Settings = Settings(),
         k = s.check_every
         interval_checks = max(1, s.adaptive_rho_interval // k)
         big = jnp.asarray(jnp.inf, dtype)
+        # L1 gradient scale in the dual-norm reference (core.admm.
+        # l1_grad_scale rationale); L1 rows are device-local, so the
+        # column max is psum-free but needs a pmax over shards.
+        if cone_loc.m_l1:
+            sl_l1 = slice(cone_loc.m_box, cone_loc.m_box + cone_loc.m_l1)
+            lamA = jnp.max(lam_loc[sl_l1, None] * jnp.abs(A_loc[sl_l1]),
+                           axis=0)
+            nlam = jax.lax.pmax(jnp.max(jnp.abs(cd_inv * lamA)), axis)
+        else:
+            nlam = jnp.zeros((), dtype)
 
         def rho_of(rb):
             return jnp.where(eq_loc, s.rho_eq_scale * rb, rb)
@@ -189,31 +199,152 @@ def solve_rowsharded(qp: QPData, mesh: Mesh, settings: Settings = Settings(),
             y_new = y + rho_loc * (w - z_new)
             return x_new, z_new, y_new, rho_bar
 
-        def cond(c):
-            x, z, y, rho_bar, it, status, rp, rd = c
-            return (status == _UNSOLVED) & (it < s.max_iter)
-
-        def body(c):
-            x, z, y, rho_bar, it, status, rp, rd = c
-            x, z, y, _ = jax.lax.fori_loop(
-                0, k, iter_once, (x, z, y, rho_bar))
-            it = it + k
+        def row_res(x, z, y):
+            """Globally-reduced unscaled residual norms (7-tuple)."""
             Ax = xprec.matmul(A_loc, x)
             Aty = jax.lax.psum(xprec.matmul(y, A_loc), axis)
             Px = xprec.matmul(P_mat, x)
-            # Unscaled residuals/norms (K4 exit criterion).
             r_p = _pmax(einv_loc * (Ax - z), axis)
             r_d = jnp.max(jnp.abs(cd_inv * (Px + q + Aty)))
             nAx = _pmax(einv_loc * Ax, axis)
             nz = _pmax(einv_loc * z, axis)
             nPx = jnp.max(jnp.abs(cd_inv * Px))
             nAty = jnp.max(jnp.abs(cd_inv * Aty))
-            nq = jnp.max(jnp.abs(cd_inv * q))
+            nq = jnp.maximum(jnp.max(jnp.abs(cd_inv * q)), nlam)
+            return r_p, r_d, nAx, nz, nPx, nAty, nq
+
+        def eps_of(res):
+            _, _, nAx, nz, nPx, nAty, nq = res
             eps_p = s.eps_abs + s.eps_rel * jnp.maximum(nAx, nz)
             eps_d = s.eps_abs + s.eps_rel * jnp.maximum(
                 nPx, jnp.maximum(nAty, nq))
+            return eps_p, eps_d
+
+        restart_checks = s.restart_every and max(1, s.restart_every // k)
+
+        def infeasibility_local(dx_s, dy_s):
+            """OSQP §3.4 certificates on row-sharded data (A6; cf.
+            core.admm.infeasibility). dx_s is replicated (n,), dy_s
+            row-local (m_loc,); all cross-shard quantities reduce via
+            psum/pmax so every device computes identical verdicts."""
+            eps_pi = jnp.asarray(s.eps_pinf, dtype)
+            eps_di = jnp.asarray(s.eps_dinf, dtype)
+            tiny = jnp.finfo(dtype).tiny
+            mbl = cone_loc.m_box + cone_loc.m_l1
+
+            # ---- primal infeasibility from dy ----
+            dy = (e_loc / c_) * dy_s                     # unscaled, local
+            ndy = jax.lax.pmax(jnp.max(jnp.abs(dy)), axis)
+            dyn = dy / jnp.maximum(ndy, tiny)
+            Aty = jax.lax.psum(
+                xprec.matmul((c_ / e_loc) * dyn, A_loc), axis) * cd_inv
+            cond_A = jnp.max(jnp.abs(Aty)) <= eps_pi
+            lu_l = l_loc[:mbl] * einv_loc[:mbl]
+            lu_u = u_loc[:mbl] * einv_loc[:mbl]
+            dyb = dyn[:mbl]
+            big_ = jnp.asarray(jnp.inf, dtype)
+            pos = dyb > eps_pi
+            neg = dyb < -eps_pi
+            up = jnp.where(pos, jnp.where(jnp.isfinite(lu_u),
+                                          lu_u * dyb, big_), 0.0)
+            lo = jnp.where(neg, jnp.where(jnp.isfinite(lu_l),
+                                          lu_l * dyb, big_), 0.0)
+            sup = jax.lax.psum(jnp.sum(up + lo), axis)
+            if cone_loc.m_soc:
+                d_soc = cone_loc.soc_dims[0]
+                blk = dyn[mbl:].reshape(cone_loc.n_soc, d_soc)
+                ok = (jnp.linalg.norm(blk[:, 1:], axis=-1)
+                      <= -blk[:, 0] + eps_pi)
+                bad = jax.lax.psum(
+                    jnp.sum((~ok).astype(jnp.int32)), axis) > 0
+                sup = jnp.where(bad, jnp.inf, sup)
+            pinf = (ndy > 0) & cond_A & (sup <= eps_pi)
+
+            # ---- dual infeasibility from dx (replicated) ----
+            dx = d_ * dx_s
+            ndx = jnp.max(jnp.abs(dx))
+            dxn = dx / jnp.maximum(ndx, tiny)
+            Pdx = xprec.matmul(P_mat, dxn / d_) * cd_inv
+            Adx = einv_loc * xprec.matmul(A_loc, dxn / d_)
+            cond_P = jnp.max(jnp.abs(Pdx)) <= eps_di
+            qdx = jnp.sum((cd_inv * q) * dxn)
+            if cone_loc.m_l1:
+                sl = slice(cone_loc.m_box, mbl)
+                lam_u = lam_loc[sl] * e_loc[sl] / c_
+                qdx = qdx + jax.lax.psum(
+                    jnp.sum(lam_u * jnp.abs(Adx[sl])), axis)
+            cond_q = qdx <= -eps_di
+            av = Adx[:mbl]
+            ok_up = (av <= eps_di) | ~jnp.isfinite(lu_u)
+            ok_lo = (av >= -eps_di) | ~jnp.isfinite(lu_l)
+            nbad = jax.lax.psum(
+                jnp.sum((~(ok_up & ok_lo)).astype(jnp.int32)), axis)
+            cond_box = nbad == 0
+            cond_soc = jnp.asarray(True)
+            if cone_loc.m_soc:
+                d_soc = cone_loc.soc_dims[0]
+                blk = Adx[mbl:].reshape(cone_loc.n_soc, d_soc)
+                ok = (jnp.linalg.norm(blk[:, 1:], axis=-1)
+                      <= blk[:, 0] + eps_di)
+                cond_soc = jax.lax.psum(
+                    jnp.sum((~ok).astype(jnp.int32)), axis) == 0
+            dinf = (ndx > 0) & cond_P & cond_q & cond_box & cond_soc
+            return pinf, dinf
+
+        def cond(c):
+            x, z, y, rho_bar, it, status, rp, rd, *_rest = c
+            return (status == _UNSOLVED) & (it < s.max_iter)
+
+        def body(c):
+            (x, z, y, rho_bar, it, status, rp, rd,
+             x_sum, z_sum, y_sum, avg_cnt, x_chk, y_chk) = c
+            x, z, y, _ = jax.lax.fori_loop(
+                0, k, iter_once, (x, z, y, rho_bar))
+            it = it + k
+            res = row_res(x, z, y)
+
+            # Restarted averaging (Settings.restart_every; cf. core.
+            # admm.run_admm). All reduction inputs are global, so the
+            # take decision is bitwise-replicated across shards.
+            x_sum = x_sum + x
+            z_sum = z_sum + z
+            y_sum = y_sum + y
+            avg_cnt = avg_cnt + 1
+            if restart_checks:
+                boundary = ((it // k - 1) % restart_checks
+                            == restart_checks - 1)
+
+                def try_restart(args):
+                    x, z, y, res, xs, zs, ys, cnt = args
+                    denom = jnp.maximum(cnt, 1).astype(dtype)
+                    xa, za, ya = xs / denom, zs / denom, ys / denom
+                    res_a = row_res(xa, za, ya)
+                    ep, ed = eps_of(res)
+                    epa, eda = eps_of(res_a)
+                    take = (jnp.maximum(res_a[0] / epa, res_a[1] / eda)
+                            < jnp.maximum(res[0] / ep, res[1] / ed))
+                    pick = lambda a, b: jnp.where(take, a, b)
+                    res_o = tuple(pick(ra, rc)
+                                  for ra, rc in zip(res_a[:6], res[:6])
+                                  ) + (res[6],)
+                    zero = lambda v: jnp.zeros_like(v)
+                    return (pick(xa, x), pick(za, z), pick(ya, y), res_o,
+                            zero(xs), zero(zs), zero(ys), jnp.int32(0))
+
+                x, z, y, res, x_sum, z_sum, y_sum, avg_cnt = jax.lax.cond(
+                    boundary, try_restart, lambda a: a,
+                    (x, z, y, res, x_sum, z_sum, y_sum, avg_cnt))
+
+            r_p, r_d, nAx, nz, nPx, nAty, nq = res
+            eps_p, eps_d = eps_of(res)
             solved = (r_p <= eps_p) & (r_d <= eps_d)
-            status = jnp.where(solved, _SOLVED, _UNSOLVED)
+            pinf, dinf = infeasibility_local(x - x_chk, y - y_chk)
+            status = jnp.where(
+                solved, _SOLVED,
+                jnp.where(pinf, jnp.int32(int(Status.PRIMAL_INFEASIBLE)),
+                          jnp.where(dinf,
+                                    jnp.int32(int(Status.DUAL_INFEASIBLE)),
+                                    _UNSOLVED)))
             # Adaptive rho (A4): free under CG. All inputs below are
             # globally-reduced scalars, so every device computes the
             # identical new rho — no extra collective.
@@ -230,12 +361,15 @@ def solve_rowsharded(qp: QPData, mesh: Mesh, settings: Settings = Settings(),
                 changed = (ratio > tol) | (ratio < 1.0 / tol)
                 do = adapt_now & changed & (status == _UNSOLVED)
                 rho_bar = jnp.where(do, new_rho, rho_bar)
-            return x, z, y, rho_bar, it, status, r_p, r_d
+            return (x, z, y, rho_bar, it, status, r_p, r_d,
+                    x_sum, z_sum, y_sum, avg_cnt, x, y)
 
         init = (x0_, z0_, y0_, jnp.asarray(s.rho, dtype), jnp.int32(0),
-                _UNSOLVED, big, big)
-        x, z, y, rho_bar, it, status, rp, rd = jax.lax.while_loop(
-            cond, body, init)
+                _UNSOLVED, big, big,
+                jnp.zeros_like(x0_), jnp.zeros_like(z0_),
+                jnp.zeros_like(y0_), jnp.int32(0), x0_, y0_)
+        (x, z, y, rho_bar, it, status, rp, rd,
+         *_rest) = jax.lax.while_loop(cond, body, init)
         status = jnp.where(
             status == _UNSOLVED, jnp.int32(int(Status.MAX_ITER)), status)
         return x, z, y, status, it, rp, rd, rho_bar

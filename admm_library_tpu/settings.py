@@ -23,8 +23,15 @@ class Settings:
     # --- termination ---
     eps_abs: float = 1e-6
     eps_rel: float = 1e-6
-    eps_pinf: float = 1e-8      # primal infeasibility tolerance
-    eps_dinf: float = 1e-8      # dual infeasibility tolerance
+    # Infeasibility certificate tolerances (A6). OSQP defaults to 1e-4;
+    # 1e-5 is stricter against false positives while still firing on
+    # the normalised delta rays a few hundred iterations into a
+    # divergent run (a 1e-8 tolerance demands a ray cleanliness the
+    # per-check deltas of chattering/restarted runs never reach —
+    # measured A'dy/‖dy‖ ~ 1e-7 on a certified-infeasible consensus
+    # problem even after 2000 iterations).
+    eps_pinf: float = 1e-5      # primal infeasibility tolerance
+    eps_dinf: float = 1e-5      # dual infeasibility tolerance
     max_iter: int = 20000
     check_every: int = 25       # residual/termination cadence (on-device)
 
@@ -34,6 +41,32 @@ class Settings:
     adaptive_rho_tol: float = 5.0      # update only if ratio drifts this much
     rho_min: float = 1e-6
     rho_max: float = 1e6
+
+    # --- restarted iterate averaging (PDLP-style) ---
+    # Degenerate LP-like problems (min-fuel L1 costs) make plain ADMM
+    # CHATTER: the active set oscillates and r_prim plateaus for tens of
+    # thousands of iterations (measured: the CW min-fuel benchmark f32
+    # phase sat at r_p ~ 9e-2 for 50k iterations). The ergodic average
+    # of the chattering iterates converges where the last iterate does
+    # not, so every `restart_every` iterations the solver compares the
+    # running average of the check-cadence iterates against the current
+    # iterate and RESTARTS from the average when it has strictly better
+    # scaled residuals (measured on that benchmark: 13,625 -> 1,025
+    # iterations in f64; the f32 stall disappears entirely). Monotone
+    # runs never take the restart (the average lags the iterate), so
+    # well-behaved QPs are unaffected. 0 disables.
+    restart_every: int = 200
+    # Stall exit: leave the loop with Status.STALLED once the best
+    # scaled residual ratio has not improved for this many consecutive
+    # checks (0 disables). With check_every=25 the default window is
+    # 400 iterations — two restart boundaries; if neither the iterates
+    # nor the averaged restarts find a new best in that window the loop
+    # is at its precision floor or chattering, and burning the rest of
+    # max_iter is pure waste (measured: the f32 phase of the CW
+    # min-fuel benchmark burned 50k iterations at a 9e-2 plateau). The
+    # staged hybrid drivers then RE-CENTER, which restores f32 headroom
+    # and continues the convergence where a longer loop could not.
+    stall_checks: int = 16
 
     # --- scaling (K4) ---
     scaling_iters: int = 10     # 0 disables Ruiz equilibration

@@ -17,6 +17,12 @@ class Status(enum.IntEnum):
     PRIMAL_INFEASIBLE = 3
     DUAL_INFEASIBLE = 4
     NUMERICAL_ERROR = 5
+    # The scaled residual ratio stopped improving for Settings.
+    # stall_checks consecutive checks (chatter / precision floor): the
+    # loop exits early instead of burning max_iter. Staged hybrid
+    # drivers treat it like MAX_ITER (re-center and continue) — a
+    # stalled f32 phase is EXPECTED; the next round restores headroom.
+    STALLED = 6
 
 
 def _sol_flatten(s):

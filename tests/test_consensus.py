@@ -119,3 +119,22 @@ def test_consensus_1e8_no_f64_loop():
     assert int(sol.status) == int(Status.SOLVED)
     assert float(sol.r_prim) <= 1e-7    # mixed criterion incl. eps_rel
     assert float(sol.r_dual) <= 1e-7
+
+
+def test_consensus_primal_infeasible():
+    """A6 on the consensus path (VERDICT r2 item 5): zero control
+    authority + an unreachable terminal equality -> the block problem
+    is primal infeasible and the certificate must fire (not MAX_ITER)."""
+    import numpy as np
+    from admm_library_tpu.models.partitioned import partition_mpc
+    from admm_library_tpu.parallel.batch import make_data_mesh
+    from admm_library_tpu.parallel.consensus import consensus_solve
+
+    s0 = np.array([1.0, -2.0, 0.3, -0.1])
+    s_t = np.array([50.0, 40.0, 0.0, 0.0])
+    qp_blk, cspec, mpc = partition_mpc(
+        s0, s_t, N=8, n_blocks=4, dim=2, u_max=0.0)
+    mesh = make_data_mesh(4, axis="horizon")
+    sol = consensus_solve(qp_blk, cspec, mesh,
+                          Settings(precision="single", max_iter=4000))
+    assert int(sol.status) == int(Status.PRIMAL_INFEASIBLE)

@@ -68,3 +68,27 @@ def test_consensus_mc_honest_per_scenario_iters():
     assert iters.shape == (8,)
     assert np.all(iters > 0)
     assert np.all(iters % TOL.check_every == 0)
+
+
+def test_consensus_mc_infeasible_lane():
+    """A6 on the scenario-batched consensus path (VERDICT r2 item 5):
+    with zero control authority, scenarios whose drift misses the
+    target are PRIMAL_INFEASIBLE per lane."""
+    import numpy as np
+    import jax.numpy as jnp
+    from admm_library_tpu import Settings, Status
+    from admm_library_tpu.models.partitioned import partition_mpc_mc
+    from admm_library_tpu.parallel.consensus_mc import consensus_solve_mc
+    from admm_library_tpu.parallel.runtime import make_mesh
+    import jax
+
+    s0 = np.array([1.0, -2.0, 0.3, -0.1])
+    s_t = np.array([50.0, 40.0, 0.0, 0.0])
+    qp, spec, mpc, _ = partition_mpc_mc(
+        jax.random.PRNGKey(0), 4, s0, s_t, N=8, n_blocks=4, dim=2,
+        u_max=0.0)
+    mesh = make_mesh(data=2, horizon=4)
+    sol = consensus_solve_mc(qp, spec, mesh,
+                             Settings(precision="single", max_iter=4000))
+    assert np.all(np.asarray(sol.status)
+                  == int(Status.PRIMAL_INFEASIBLE)), np.asarray(sol.status)

@@ -58,7 +58,9 @@ def test_low_thrust_socp():
     us, gam = lt.thrust_profile(spec, sol.x)
     nu = jnp.linalg.norm(us, axis=-1)
     assert float(jnp.max(nu - gam)) < 1e-5
-    assert float(jnp.max(gam)) <= 0.05 + 1e-6
+    # Gamma is nondimensional (canonical units); compare in SI.
+    gam_si = spec.accel_from_nd(gam)
+    assert float(jnp.max(gam_si)) <= 0.05 + 1e-6
 
 
 def test_low_thrust_banded_equals_dense():

@@ -114,3 +114,41 @@ def test_rowsharded_warm_start():
     warm = solve_rowsharded(qp, mesh, s, x0=sol.x, z0=sol.z, y0=sol.y)
     assert int(warm.status) == int(Status.SOLVED)
     assert int(warm.iters) <= max(int(sol.iters) // 4, s.check_every)
+
+
+def test_rowsharded_primal_infeasible():
+    """A6 on the row-sharded path (VERDICT r2 item 5): a constructed
+    infeasible problem must return PRIMAL_INFEASIBLE, not burn
+    max_iter."""
+    from admm_library_tpu.problem import make_qp
+    n, m = 8, 16
+    rng = np.random.default_rng(3)
+    Arows = rng.standard_normal((8, n))
+    # Rows i and i+8 share a'x but demand a'x <= -1 and a'x >= 1.
+    A = np.vstack([Arows, Arows])
+    l = np.concatenate([np.full(8, -np.inf), np.full(8, 1.0)])
+    u = np.concatenate([np.full(8, -1.0), np.full(8, np.inf)])
+    qp = make_qp(jnp.eye(n, dtype=jnp.float64),
+                 jnp.zeros(n, dtype=jnp.float64),
+                 jnp.asarray(A, jnp.float64),
+                 jnp.asarray(l, jnp.float64), jnp.asarray(u, jnp.float64))
+    mesh = make_data_mesh(8)
+    sol = solve_rowsharded(qp, mesh, Settings(precision="single"))
+    assert int(sol.status) == int(Status.PRIMAL_INFEASIBLE)
+
+
+def test_rowsharded_dual_infeasible():
+    """Unbounded problem over the row shards -> DUAL_INFEASIBLE."""
+    from admm_library_tpu.problem import make_qp
+    n, m = 8, 16
+    A = np.eye(m, n)
+    A[8:] = np.eye(8, n)
+    l = np.zeros(m)
+    u = np.full(m, np.inf)
+    q = -np.ones(n)
+    qp = make_qp(jnp.zeros((n, n), dtype=jnp.float64),
+                 jnp.asarray(q, jnp.float64), jnp.asarray(A, jnp.float64),
+                 jnp.asarray(l, jnp.float64), jnp.asarray(u, jnp.float64))
+    mesh = make_data_mesh(8)
+    sol = solve_rowsharded(qp, mesh, Settings(precision="single"))
+    assert int(sol.status) == int(Status.DUAL_INFEASIBLE)

@@ -73,9 +73,10 @@ def test_warm_start_fewer_iters():
     warm = solve(qp, s, x0=cold.x, z0=cold.z, y0=cold.y)
     assert int(warm.iters) <= int(cold.iters)
     # Nearly immediate: hybrid precision roundtrips the warm start through
-    # f32 (phase 1), so the f64 phase needs a couple of check intervals to
-    # recover the last digits -> bound is 3 checks, not 1.
-    assert int(warm.iters) <= 3 * s.check_every
+    # f32 (phase 1), so the staged pipeline needs a few check intervals
+    # (f32 phase + a re-centered round + the f64 finish each take >= 1)
+    # to recover the last digits -> bound is 5 checks, not 1.
+    assert int(warm.iters) <= 5 * s.check_every
 
 
 def test_deterministic_bitwise():
