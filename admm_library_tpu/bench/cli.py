@@ -213,6 +213,33 @@ def bench_consensus_mc(seed: int = 0, batch: int = 1024, N: int = 50,
     return rep
 
 
+def bench_rowshard(seed: int = 0, n: int = 4096, m: int = 8192):
+    """P3: ONE large QP (n=4096, m=8192 — A+P ≈ 200 MB f32, ~10x a
+    chip's VMEM) with A row-sharded over every available chip, solved by
+    the matrix-free row-sharded CG to ABSOLUTE 1e-6 via the hybrid
+    re-centered path (VERDICT r2 item 6).
+
+    On a multi-chip mesh each CG step runs one psum over the row axis
+    (the ICI cost); on this driver's single chip the mesh is 1-wide and
+    the entry records the baseline rate the pod run compares against
+    (run the same config under bench/multihost.py on a pod for the
+    ICI share).
+    """
+    from ..parallel.batch import make_data_mesh
+    from ..parallel.rowshard import solve_rowsharded_hybrid
+
+    qp = random_box_qp(jax.random.PRNGKey(seed), n=n, m=m,
+                       dtype=jnp.float32)
+    ndev = len(jax.devices())
+    mesh = make_data_mesh(ndev)
+    s = Settings(eps_abs=EPS, eps_rel=EPS, backend="cg")
+    sol, stats = _timed(lambda: solve_rowsharded_hybrid(qp, mesh, s),
+                        reps=8)
+    rep = _report("rowshard_qp4096", sol, stats)
+    rep["n"], rep["m"], rep["n_devices"] = n, m, ndev
+    return rep
+
+
 def run_config(name: str, seed: int = 0):
     """Run one named benchmark config; returns its report dict."""
     return CONFIGS[name](seed)
@@ -228,6 +255,7 @@ CONFIGS = {
     # the honest measured per-chip rate (VERDICT r1 item 2).
     "monte_carlo_128": lambda seed: bench_monte_carlo(seed, batch=128),
     "consensus_mc": bench_consensus_mc,
+    "rowshard": bench_rowshard,
 }
 
 
@@ -236,12 +264,46 @@ def main(argv=None):
     p.add_argument("configs", nargs="*", default=list(CONFIGS),
                    help=f"configs to run (default: all of {list(CONFIGS)})")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None,
+                   help="also write the full capture (headline + configs "
+                        "+ topology) as one JSON file — the "
+                        "PERF_CONFIGS.json writer, same code path as the "
+                        "driver's bench.py (VERDICT r2 item 9)")
     args = p.parse_args(argv)
     out = []
     for name in args.configs:
         r = CONFIGS[name](args.seed)
         out.append(r)
         print(json.dumps(r), flush=True)
+    if args.out:
+        import datetime
+
+        from ..parallel.runtime import describe
+
+        by_name = {r["config"]: r for r in out}
+        head = by_name.get("monte_carlo_128")
+        capture = {
+            "hardware": jax.devices()[0].device_kind + (
+                f" x{len(jax.devices())}" if len(jax.devices()) > 1
+                else " (1 chip)"),
+            "date": datetime.date.today().isoformat(),
+            "eps": EPS,
+            "timing": {
+                "wall_clock_s": "median of back-to-back solves "
+                                "(reps>=5, 3s budget)",
+                "latency_single_shot_s": "one isolated blocking call "
+                                         "incl. tunnel round trip",
+            },
+            "headline": None if head is None else {
+                "metric": "admm_iters_per_s_chip_mc_h50_batch128",
+                "value": head["iters_per_s"],
+                "vs_baseline": head["iters_per_s"] / 1.0e4,
+            },
+            "topology": describe(),
+            "configs": by_name,
+        }
+        with open(args.out, "w") as f:
+            json.dump(capture, f, indent=1)
     return out
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..ops import kkt
@@ -38,11 +39,11 @@ from ..settings import Settings
 from ..solution import Status
 from .scaling import Scaling
 
-_UNSOLVED = jnp.int32(int(Status.UNSOLVED))
-_SOLVED = jnp.int32(int(Status.SOLVED))
-_PINF = jnp.int32(int(Status.PRIMAL_INFEASIBLE))
-_DINF = jnp.int32(int(Status.DUAL_INFEASIBLE))
-_NUMERR = jnp.int32(int(Status.NUMERICAL_ERROR))
+_UNSOLVED = np.int32(int(Status.UNSOLVED))
+_SOLVED = np.int32(int(Status.SOLVED))
+_PINF = np.int32(int(Status.PRIMAL_INFEASIBLE))
+_DINF = np.int32(int(Status.DUAL_INFEASIBLE))
+_NUMERR = np.int32(int(Status.NUMERICAL_ERROR))
 
 
 def linf(v):

@@ -27,6 +27,7 @@ from functools import partial
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -40,10 +41,10 @@ from ..settings import Settings
 from ..solution import Solution, Status
 from ..api import resolve_backend
 
-_UNSOLVED = jnp.int32(int(Status.UNSOLVED))
-_SOLVED = jnp.int32(int(Status.SOLVED))
-_PINF = jnp.int32(int(Status.PRIMAL_INFEASIBLE))
-_DINF = jnp.int32(int(Status.DUAL_INFEASIBLE))
+_UNSOLVED = np.int32(int(Status.UNSOLVED))
+_SOLVED = np.int32(int(Status.SOLVED))
+_PINF = np.int32(int(Status.PRIMAL_INFEASIBLE))
+_DINF = np.int32(int(Status.DUAL_INFEASIBLE))
 
 
 class BatchCarry(NamedTuple):

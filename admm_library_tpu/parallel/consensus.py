@@ -68,8 +68,8 @@ from ..problem import ConeSpec, QPData
 from ..settings import Settings
 from ..solution import Status
 
-_UNSOLVED = jnp.int32(int(Status.UNSOLVED))
-_SOLVED = jnp.int32(int(Status.SOLVED))
+_UNSOLVED = np.int32(int(Status.UNSOLVED))
+_SOLVED = np.int32(int(Status.SOLVED))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -381,9 +381,12 @@ def run_consensus(qp_blk: QPData, spec: ConsensusSpec, settings: Settings,
 
     rho0 = (jnp.asarray(settings.rho, dtype) if rho0 is None
             else rho0.astype(dtype))
+    edge_scale = (settings.rho_edge_scale if settings.rho_edge_scale > 0
+                  else settings.rho_eq_scale)
 
     def rho_vec_of(rho_bar):
-        return jnp.where(eq_mask, settings.rho_eq_scale * rho_bar, rho_bar)
+        return jnp.where(box_eq, settings.rho_eq_scale * rho_bar,
+                         jnp.where(edge, edge_scale * rho_bar, rho_bar))
 
     def factor(rho_bar):
         rv = rho_vec_of(rho_bar)
@@ -691,6 +694,8 @@ def recentered_rounds_blocks(qp_blk: QPData, spec: ConsensusSpec,
         precision="single",
         sigma=max(settings.sigma, 1e-5),
         rho_eq_scale=min(settings.rho_eq_scale, 1e2),
+        rho_edge_scale=(min(settings.rho_edge_scale, 1e2)
+                        if settings.rho_edge_scale > 0 else -1.0),
         # Correction problems are feasible by construction; their rows
         # mix shifted and original domains, so certificates there are
         # meaningless — disable (cf. api._recentered_rounds).
@@ -820,7 +825,15 @@ def consensus_solve(qp_blk: QPData, spec: ConsensusSpec, mesh: Mesh,
     ndev = mesh.shape[axis]
     if B % ndev != 0:
         raise ValueError(f"n_blocks={B} not divisible by mesh axis {ndev}")
-    backend = "chol" if settings.backend == "auto" else settings.backend
+    # 'auto' prefers the explicit-inverse factor on TPU: the per-block
+    # x-update becomes one (scenarios*blocks, nb) @ (nb, nb) MXU matmul
+    # instead of 2 sequential triangular solves (VERDICT r2 item 3 —
+    # the consensus x-update ran plain-XLA solves at ~2x the flat
+    # batch's per-iteration cost). Off-TPU keep Cholesky (f64 tests).
+    if settings.backend == "auto":
+        backend = "inv" if jax.default_backend() == "tpu" else "chol"
+    else:
+        backend = settings.backend
 
     dtype = qp_blk.dtype
     if x0 is None:
@@ -864,7 +877,9 @@ def consensus_solve(qp_blk: QPData, spec: ConsensusSpec, mesh: Mesh,
         eps_abs=max(settings.hybrid_eps, settings.eps_abs),
         eps_rel=max(settings.hybrid_eps, settings.eps_rel),
         sigma=max(settings.sigma, 1e-5),
-        rho_eq_scale=min(settings.rho_eq_scale, 1e2))
+        rho_eq_scale=min(settings.rho_eq_scale, 1e2),
+        rho_edge_scale=(min(settings.rho_edge_scale, 1e2)
+                        if settings.rho_edge_scale > 0 else -1.0))
     sol32 = phase(qp_s.astype(f32), s32,
                   x0.astype(f32), z0.astype(f32), y0.astype(f32))
 

@@ -27,6 +27,7 @@ from functools import partial
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -40,8 +41,8 @@ from ..core.scaling import (Scaling, ruiz_equilibrate_blocks,
 from .consensus import ConsensusSpec, consensus_body, _linf_scen, _pmax
 from .. import xprec
 
-_UNSOLVED = jnp.int32(int(Status.UNSOLVED))
-_SOLVED = jnp.int32(int(Status.SOLVED))
+_UNSOLVED = np.int32(int(Status.UNSOLVED))
+_SOLVED = np.int32(int(Status.SOLVED))
 
 
 class ConsensusMCSolution(NamedTuple):
@@ -96,9 +97,12 @@ def run_consensus_mc(qp_blk: QPData, spec: ConsensusSpec,
 
     rho0 = (jnp.asarray(settings.rho, dtype) if rho0 is None
             else rho0.astype(dtype))
+    edge_scale = (settings.rho_edge_scale if settings.rho_edge_scale > 0
+                  else settings.rho_eq_scale)
 
     def rho_vec_of(rb):
-        return jnp.where(eq_mask, settings.rho_eq_scale * rb, rb)
+        return jnp.where(box_eq, settings.rho_eq_scale * rb,
+                         jnp.where(edge, edge_scale * rb, rb))
 
     def factor(rb):
         rv = rho_vec_of(rb)
@@ -398,7 +402,15 @@ def consensus_solve_mc(qp_blk: QPData, spec: ConsensusSpec, mesh: Mesh,
         raise ValueError(
             f"batch {B} x blocks {Bb} not divisible by mesh "
             f"({nd} x {nh})")
-    backend = "chol" if settings.backend == "auto" else settings.backend
+    # 'auto' prefers the explicit-inverse factor on TPU: the per-block
+    # x-update becomes one (scenarios*blocks, nb) @ (nb, nb) MXU matmul
+    # instead of 2 sequential triangular solves (VERDICT r2 item 3 —
+    # the consensus x-update ran plain-XLA solves at ~2x the flat
+    # batch's per-iteration cost). Off-TPU keep Cholesky (f64 tests).
+    if settings.backend == "auto":
+        backend = "inv" if jax.default_backend() == "tpu" else "chol"
+    else:
+        backend = settings.backend
     dtype = qp_blk.dtype
     if x0 is None:
         x0 = jnp.zeros((B, Bb, spec.nb), dtype)
@@ -443,7 +455,9 @@ def consensus_solve_mc(qp_blk: QPData, spec: ConsensusSpec, mesh: Mesh,
         eps_abs=max(settings.hybrid_eps, settings.eps_abs),
         eps_rel=max(settings.hybrid_eps, settings.eps_rel),
         sigma=max(settings.sigma, 1e-5),
-        rho_eq_scale=min(settings.rho_eq_scale, 1e2))
+        rho_eq_scale=min(settings.rho_eq_scale, 1e2),
+        rho_edge_scale=(min(settings.rho_edge_scale, 1e2)
+                        if settings.rho_edge_scale > 0 else -1.0))
     sol32 = phase(qp_s.astype(f32), s32, x0.astype(f32), z0.astype(f32),
                   y0.astype(f32))
 

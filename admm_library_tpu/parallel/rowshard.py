@@ -48,8 +48,8 @@ from ..settings import Settings
 from ..solution import Status
 from .. import xprec
 
-_UNSOLVED = jnp.int32(int(Status.UNSOLVED))
-_SOLVED = jnp.int32(int(Status.SOLVED))
+_UNSOLVED = np.int32(int(Status.UNSOLVED))
+_SOLVED = np.int32(int(Status.SOLVED))
 
 
 def _pmax(v, axis):
@@ -394,6 +394,97 @@ def solve_rowsharded(qp: QPData, mesh: Mesh, settings: Settings = Settings(),
     y = scaling.unscale_y(y)
     return RowShardSolution(x=x, z=z, y=y, status=status, iters=it,
                             r_prim=rp, r_dual=rd, rho=rho)
+
+
+def solve_rowsharded_hybrid(qp: QPData, mesh: Mesh,
+                            settings: Settings = Settings(),
+                            axis: str = "data") -> RowShardSolution:
+    """Hybrid-precision row-sharded solve: f32 phase + re-centered f32
+    refinement rounds to ABSOLUTE eps (VERDICT r2 item 6).
+
+    Mirrors parallel/batch._solve_shared_recentered for the single-
+    problem row-sharded case, box/equality cones (the 'single huge QP'
+    shape): phase 1 solves in f32 to the f32 plateau; each round then
+    re-solves the SAME row-sharded program with data shifted around the
+    accumulated iterate (g = Px + q, bounds <- bounds - Ax in f64,
+    cast f32), warm-started duals REPLACED. Every hot iteration stays
+    f32/MXU; only the per-round shift (2 f64 einsums) pays emulated-f64
+    cost. Rounds are host-staged (one sync per round, ~3 rounds total).
+
+    Mixed-cone problems fall back to a single f32 phase at the relaxed
+    hybrid_eps (honest status; extend with shifted-prox offsets the way
+    batch.mask_dual does if mixed-cone rowshard at 1e-6 is ever needed).
+    """
+    f32, f64 = jnp.float32, jnp.float64
+    if not jax.config.jax_enable_x64 or settings.precision != "hybrid":
+        return solve_rowsharded(qp, mesh, settings, axis=axis)
+    s1 = settings.replace(
+        precision="single",
+        eps_abs=max(settings.hybrid_eps, settings.eps_abs),
+        eps_rel=max(settings.hybrid_eps, settings.eps_rel),
+        sigma=max(settings.sigma, 1e-5),
+        rho_eq_scale=min(settings.rho_eq_scale, 1e2))
+    if qp.cone.m_l1 or qp.cone.m_soc:
+        return solve_rowsharded(qp.astype(f32), mesh, s1, axis=axis)
+
+    qp64 = qp.astype(f64)
+    sol = solve_rowsharded(qp.astype(f32), mesh, s1, axis=axis)
+
+    def clean(v):
+        v = v.astype(f64)
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
+    @jax.jit
+    def true_resid(x_t, y_t, z_t):
+        Ax = xprec.einsum("ij,j->i", qp64.A, x_t)
+        Px = xprec.einsum("ij,j->i", qp64.P, x_t)
+        Aty = xprec.einsum("ji,j->i", qp64.A, y_t)
+        linf = lambda v: jnp.max(jnp.abs(v))
+        r_p = linf(Ax - z_t)
+        r_d = linf(Px + qp64.q + Aty)
+        eps_p = settings.eps_abs + settings.eps_rel * jnp.maximum(
+            linf(Ax), linf(z_t))
+        eps_d = settings.eps_abs + settings.eps_rel * jnp.maximum(
+            jnp.maximum(linf(Px), linf(Aty)), linf(qp64.q))
+        return Ax, Px, r_p, r_d, (r_p <= eps_p) & (r_d <= eps_d)
+
+    x_t = clean(sol.x)
+    y_t = clean(sol.y)
+    z_t = clean(sol.z)
+    iters = sol.iters
+    rho = sol.rho
+    s_c = s1.replace(eps_abs=settings.eps_abs, eps_rel=settings.eps_rel,
+                     eps_pinf=0.0, eps_dinf=0.0)
+    solved = False
+    r_p = sol.r_prim.astype(f64)
+    r_d = sol.r_dual.astype(f64)
+    for _ in range(max(settings.recenter_rounds, 0)):
+        Ax, Px, r_p, r_d, ok = true_resid(x_t, y_t, z_t)
+        solved = bool(ok)                                  # host sync
+        if solved:
+            break
+        qp_c = QPData(
+            P=qp.P.astype(f32), q=(Px + qp64.q).astype(f32),
+            A=qp.A.astype(f32), l=(qp64.l - Ax).astype(f32),
+            u=(qp64.u - Ax).astype(f32), lam=qp.lam.astype(f32),
+            cone=qp.cone)
+        solc = solve_rowsharded(
+            qp_c, mesh, s_c, x0=jnp.zeros_like(qp_c.q),
+            z0=(z_t - Ax).astype(f32), y0=y_t.astype(f32), axis=axis)
+        x_t = x_t + clean(solc.x)
+        y_t = clean(solc.y)
+        z_t = Ax + clean(solc.z)
+        iters = iters + solc.iters
+        rho = solc.rho
+    if not solved:
+        _, _, r_p, r_d, ok = true_resid(x_t, y_t, z_t)
+        solved = bool(ok)
+    status = jnp.int32(int(Status.SOLVED if solved else Status.MAX_ITER))
+    d = qp.dtype
+    return RowShardSolution(
+        x=x_t.astype(d), z=z_t.astype(d), y=y_t.astype(d),
+        status=status, iters=iters,
+        r_prim=jnp.asarray(r_p, d), r_dual=jnp.asarray(r_d, d), rho=rho)
 
 
 def _cg_rowsharded(P_mat, A_loc, rho_loc, sigma, rhs, axis, tol, max_iter):

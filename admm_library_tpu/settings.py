@@ -17,6 +17,12 @@ class Settings:
     # --- ADMM penalty / splitting parameters (OSQP defaults) ---
     rho: float = 0.1            # initial penalty rho-bar
     rho_eq_scale: float = 1e3   # rho boost on equality rows (l == u)
+    # Separate penalty scale for consensus AGREEMENT (edge) rows in the
+    # horizon-partitioned solvers. Edge rows are equality-like but their
+    # targets MOVE every iteration (the neighbor average), so the huge
+    # equality boost that helps pinned dynamics rows overdamps the
+    # boundary negotiation. -1 (default) follows rho_eq_scale.
+    rho_edge_scale: float = -1.0
     sigma: float = 1e-6         # x-update regularisation
     alpha: float = 1.6          # over-relaxation in (0, 2)
 

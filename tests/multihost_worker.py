@@ -85,6 +85,17 @@ def main():
     status = multihost_utils.process_allgather(sol.status, tiled=True)
     r_p = multihost_utils.process_allgather(sol.r_prim, tiled=True)
 
+    # --- P1 hybrid precision at eps 1e-6 over the same mesh ---
+    # The path the BASELINE metric names (wall-clock to 1e-6): f32
+    # iterations + re-centered f32 refinement, executed host-spanning
+    # under shard_map (VERDICT r2 item 7 second half).
+    s_h = Settings(eps_abs=1e-6, eps_rel=1e-6, max_iter=4000,
+                   precision="hybrid")
+    sol_h = solve_batch_shared(qp_s, s_h)
+    status_h = multihost_utils.process_allgather(sol_h.status, tiled=True)
+    rp_h = multihost_utils.process_allgather(sol_h.r_prim, tiled=True)
+    rd_h = multihost_utils.process_allgather(sol_h.r_dual, tiled=True)
+
     # --- P2 consensus over a host-spanning ('horizon',) mesh ---
     s0 = np.array([1.0, -2.0, 0.3, -0.1])
     qp_blk, cspec, _ = partition_mpc(
@@ -98,6 +109,9 @@ def main():
         "global_devices": desc["global_devices"],
         "batch_status": [int(v) for v in np.asarray(status)],
         "batch_max_rp": float(np.max(np.asarray(r_p))),
+        "hybrid_status": [int(v) for v in np.asarray(status_h)],
+        "hybrid_max_rp": float(np.max(np.asarray(rp_h))),
+        "hybrid_max_rd": float(np.max(np.asarray(rd_h))),
         "consensus_status": int(csol.status),
         "consensus_rp": float(csol.r_prim),
         "consensus_rd": float(csol.r_dual),
