@@ -73,7 +73,10 @@ def _factor_condensed(P, A, sigma, rho_vec, backend: str, band_block: int):
         return {"M": M, "L": L}
     if backend == "inv":
         L = jnp.linalg.cholesky(M)
-        eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+        # Match L's batch dims explicitly: TPU's triangular_solve
+        # lowering rejects an unbatched rhs against a batched L.
+        eye = jnp.broadcast_to(jnp.eye(M.shape[-1], dtype=M.dtype),
+                               L.shape)
         Linv = solve_triangular(L, eye, lower=True)
         Minv = xprec.einsum("...ji,...jk->...ik", Linv, Linv)
         return {"M": M, "Minv": Minv}

@@ -38,6 +38,26 @@ def test_condensed_solve_batched_rhs(backend):
     assert float(jnp.max(jnp.abs(rhs - x @ M.T))) < 1e-8
 
 
+@pytest.mark.parametrize("backend", ["chol", "inv"])
+def test_condensed_factor_batched_matrix(backend):
+    """Batched (blocks, n, n) factor — the consensus per-block shape.
+
+    Regression: the 'inv' factor's identity rhs must broadcast to L's
+    batch dims explicitly (TPU triangular_solve rejects unbatched rhs
+    against batched L; crashed bench consensus_mc on chip, round 3).
+    """
+    sys = [_random_system(s, n=24, m=30) for s in range(3)]
+    P = jnp.stack([t[0] for t in sys])
+    A = jnp.stack([t[1] for t in sys])
+    rho = jnp.stack([t[2] for t in sys])
+    rhs = jnp.stack([t[3] for t in sys])
+    fac = kkt.factor_condensed(P, A, 1e-6, rho, backend)
+    x = kkt.solve_condensed(fac, rhs, backend)
+    M = kkt.condensed_matrix(P, A, 1e-6, rho)
+    r = jnp.einsum("bij,bj->bi", M, x) - rhs
+    assert float(jnp.max(jnp.abs(r))) < 1e-8
+
+
 def test_cg_batched_lockstep():
     P, A, rho, _ = _random_system(3)
     rhs = jnp.asarray(np.random.default_rng(4).standard_normal((5, 40)))
