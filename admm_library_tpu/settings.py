@@ -21,8 +21,11 @@ class Settings:
     # horizon-partitioned solvers. Edge rows are equality-like but their
     # targets MOVE every iteration (the neighbor average), so the huge
     # equality boost that helps pinned dynamics rows overdamps the
-    # boundary negotiation. -1 (default) follows rho_eq_scale.
-    rho_edge_scale: float = -1.0
+    # boundary negotiation. Swept on the horizon-50 consensus-MC set
+    # (scripts/sweep_consensus.py): 30 cuts lockstep iterations ~2x vs
+    # tying edge rows to rho_eq_scale (2750 -> 1525 at batch 32).
+    # -1 follows rho_eq_scale (the pre-sweep behaviour).
+    rho_edge_scale: float = 30.0
     sigma: float = 1e-6         # x-update regularisation
     alpha: float = 1.6          # over-relaxation in (0, 2)
 
