@@ -23,9 +23,12 @@ class Settings:
     # equality boost that helps pinned dynamics rows overdamps the
     # boundary negotiation. Swept on the horizon-50 consensus-MC set
     # (scripts/sweep_consensus.py): 30 cuts lockstep iterations ~2x vs
-    # tying edge rows to rho_eq_scale (2750 -> 1525 at batch 32).
-    # -1 follows rho_eq_scale (the pre-sweep behaviour).
-    rho_edge_scale: float = 30.0
+    # tying edge rows to rho_eq_scale (2750 -> 1525 at batch 32) — but
+    # that value regresses SMALL consensus problems to MAX_ITER (the
+    # round-3 test_two_process_mesh failure), so the sweep winner lives
+    # in the consensus-MC bench config, NOT here. The default -1 follows
+    # rho_eq_scale, which is robust across problem scales.
+    rho_edge_scale: float = -1.0
     sigma: float = 1e-6         # x-update regularisation
     alpha: float = 1.6          # over-relaxation in (0, 2)
 
