@@ -347,14 +347,20 @@ def solve(qp: QPData, settings: Settings = Settings(),
         return _solve_jit(qp, x0, z0, y0, settings, backend)
 
     if qp.cone.m_soc and settings.recenter_rounds > 0:
-        # SOC problems: polish cannot land (curved boundary), so the
-        # staged polish pipeline below is pure overhead; delegate to
-        # the shared-matrix batch core at B=1 — its dual re-centered
-        # rounds (masked box base + Moreau SOC base + per-round
-        # safeguard, parallel/batch._solve_shared_recentered) reach
-        # ABSOLUTE 1e-6 residuals in pure f32 where the old staged
-        # path fell back to the emulated-f64 phase (the 4.5 s config-4
-        # wall-clock of round 2).
+        # SOC problems: delegate to the shared-matrix batch core at
+        # B=1 — its dual re-centered rounds (masked box base + Moreau
+        # SOC base + per-round safeguard, parallel/batch.
+        # _solve_shared_recentered) reach ~1.2e-6 absolute residuals in
+        # pure f32 where the old staged path fell back to the
+        # emulated-f64 phase (the 4.5 s config-4 wall-clock of round
+        # 2). A tangent-linearized SOC polish was built and rejected
+        # for this path in round 4: on degenerate min-fuel SOCPs the
+        # linearized active-set system is unbounded along the tangent
+        # plane (the cone's |u|-cost becomes linear), so the polish
+        # candidate explodes and acceptance vetoes it — see
+        # core/polish.py for the machinery and PERF.md for the
+        # measurements; the curvature-corrected SQP step lands only on
+        # non-degenerate instances (tests/test_polish_soc.py).
         from .parallel.batch import solve_batch_shared
         from .problem import QPData as _QPData
         qpb = _QPData(P=qp.P, q=qp.q, A=qp.A, l=qp.l[None], u=qp.u[None],

@@ -344,7 +344,8 @@ def run_admm(qp: QPData, scaling: Scaling, settings: Settings,
     def factor(rho_bar):
         rv = rho_vec_of(rho_bar, eq_mask, settings)
         return kkt.factor_condensed(
-            qp.P, qp.A, settings.sigma, rv, backend, band_block), rv
+            qp.P, qp.A, settings.sigma, rv, backend, band_block,
+            spike_parts=settings.spike_parts), rv
 
     fac0, _ = factor(rho0)
     slots = max(settings.history, 0)

@@ -42,7 +42,8 @@ def condensed_matrix(P, A, sigma, rho_vec):
     return P + sigma * eye + AtRA
 
 
-def factor_condensed(P, A, sigma, rho_vec, backend: str, band_block: int = 0):
+def factor_condensed(P, A, sigma, rho_vec, backend: str, band_block: int = 0,
+                     spike_parts: int = 0):
     """Build the cached factor for the requested backend.
 
     Returns a dict pytree. 'M' is kept for refinement and CG matvecs.
@@ -52,10 +53,12 @@ def factor_condensed(P, A, sigma, rho_vec, backend: str, band_block: int = 0):
     the solver diverges (see xprec module docstring).
     """
     with xprec.highest():
-        return _factor_condensed(P, A, sigma, rho_vec, backend, band_block)
+        return _factor_condensed(P, A, sigma, rho_vec, backend, band_block,
+                                 spike_parts)
 
 
-def _factor_condensed(P, A, sigma, rho_vec, backend: str, band_block: int):
+def _factor_condensed(P, A, sigma, rho_vec, backend: str, band_block: int,
+                      spike_parts: int = 0):
     if backend == "cg":
         # Matrix-free: keep the operator pieces only.
         return {"P": P, "A": A, "rho": rho_vec,
@@ -86,6 +89,13 @@ def _factor_condensed(P, A, sigma, rho_vec, backend: str, band_block: int):
         diag, low = banded_ops.dense_to_block_tridiag(M, band_block)
         Ld, Ll = banded_ops.block_tridiag_cholesky(diag, low)
         return {"M": M, "Ld": Ld, "Ll": Ll}
+    if backend == "spike":
+        if band_block <= 0 or spike_parts <= 0:
+            raise ValueError(
+                "spike backend requires band_block > 0 and spike_parts > 0")
+        from . import spike as spike_ops
+        fac = spike_ops.spike_factor(M, band_block, spike_parts)
+        return {"M": M, **fac}
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -183,6 +193,9 @@ def solve_condensed(fac, rhs, backend: str, refine_steps: int = 0,
         x = xprec.einsum("...ij,...j->...i", fac["Minv"], rhs)
     elif backend == "banded":
         x = banded_ops.block_tridiag_solve(fac["Ld"], fac["Ll"], rhs)
+    elif backend == "spike":
+        from . import spike as spike_ops
+        x = spike_ops.spike_solve(fac, rhs)
     elif backend == "cg":
         return cg_solve(fac, rhs, tol=cg_tol, max_iter=cg_max_iter)
     elif backend == "pallas_cg":
@@ -207,6 +220,9 @@ def solve_condensed(fac, rhs, backend: str, refine_steps: int = 0,
             x = x + _chol_solve(fac["L"], r)
         elif backend == "inv":
             x = x + xprec.einsum("...ij,...j->...i", fac["Minv"], r)
+        elif backend == "spike":
+            from . import spike as spike_ops
+            x = x + spike_ops.spike_solve(fac, r)
         else:
             x = x + banded_ops.block_tridiag_solve(fac["Ld"], fac["Ll"], r)
     return x

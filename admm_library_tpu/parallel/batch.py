@@ -115,7 +115,8 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
     def factor(rho_bar):
         rv = admm.rho_vec_of(rho_bar, eq_mask, settings)
         return kkt.factor_condensed(
-            qp.P, qp.A, settings.sigma, rv, backend, band_block), rv
+            qp.P, qp.A, settings.sigma, rv, backend, band_block,
+            spike_parts=settings.spike_parts), rv
 
     # Fused Pallas iteration kernel: f32 shared-matrix path with an
     # explicit-inverse factor; interpret mode keeps the identical kernel

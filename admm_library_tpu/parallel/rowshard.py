@@ -429,24 +429,51 @@ def solve_rowsharded_hybrid(qp: QPData, mesh: Mesh,
 
     qp64 = qp.astype(f64)
     sol = solve_rowsharded(qp.astype(f32), mesh, s1, axis=axis)
+    # Host sync between the sharded f32 phase and the f64 residual
+    # program: at this config's size, queueing both back-to-back
+    # crashed the TPU worker on the axon stack (round 4; each program
+    # runs fine in isolation — verified by bisection). One extra round
+    # trip per phase boundary is noise next to the multi-second solve.
+    jax.block_until_ready(sol.x)
 
     def clean(v):
         v = v.astype(f64)
         return jnp.where(jnp.isfinite(v), v, 0.0)
 
+    # P/A/q enter as jit ARGUMENTS, not closure captures: a captured
+    # concrete array is baked into the HLO as a constant, and at this
+    # config's size (A is 256 MB in f64) the serialized program blew the
+    # axon remote-compile request limit (HTTP 413, round-4 bench crash).
+    # The f64 matvecs run CHUNKED over row blocks (lax.map): TPU f64 is
+    # emulated, and one monolithic 8192x4096 f64 einsum faulted the TPU
+    # worker on this stack — 512-row slices are well inside what the
+    # emulation handles, at identical arithmetic.
+    def _mv64(M64, v):
+        rows = M64.shape[0]
+        c = 512
+        if rows % c:
+            return xprec.einsum("ij,j->i", M64, v)
+        blocks = M64.reshape(rows // c, c, M64.shape[1])
+        out = jax.lax.map(
+            lambda Mb: xprec.einsum("ij,j->i", Mb, v), blocks)
+        return out.reshape(rows)
+
     @jax.jit
-    def true_resid(x_t, y_t, z_t):
-        Ax = xprec.einsum("ij,j->i", qp64.A, x_t)
-        Px = xprec.einsum("ij,j->i", qp64.P, x_t)
-        Aty = xprec.einsum("ji,j->i", qp64.A, y_t)
+    def _true_resid(P64, A64, q64, x_t, y_t, z_t):
+        Ax = _mv64(A64, x_t)
+        Px = _mv64(P64, x_t)
+        Aty = _mv64(jnp.swapaxes(A64, 0, 1), y_t)
         linf = lambda v: jnp.max(jnp.abs(v))
         r_p = linf(Ax - z_t)
-        r_d = linf(Px + qp64.q + Aty)
+        r_d = linf(Px + q64 + Aty)
         eps_p = settings.eps_abs + settings.eps_rel * jnp.maximum(
             linf(Ax), linf(z_t))
         eps_d = settings.eps_abs + settings.eps_rel * jnp.maximum(
-            jnp.maximum(linf(Px), linf(Aty)), linf(qp64.q))
+            jnp.maximum(linf(Px), linf(Aty)), linf(q64))
         return Ax, Px, r_p, r_d, (r_p <= eps_p) & (r_d <= eps_d)
+
+    def true_resid(x_t, y_t, z_t):
+        return _true_resid(qp64.P, qp64.A, qp64.q, x_t, y_t, z_t)
 
     x_t = clean(sol.x)
     y_t = clean(sol.y)

@@ -114,7 +114,15 @@ class Settings:
     # | 'banded' (block-tridiagonal Cholesky, MPC structure, K2)
     # | 'cg' (matrix-free conjugate gradient, K3)
     # | 'pallas_cg' (Pallas TPU batched CG kernel, K3)
+    # | 'spike' (partitioned block-tridiagonal SPIKE/nested dissection:
+    #   the horizon-partitioned x-update solved EXACTLY, so the ADMM
+    #   iterates match the un-partitioned solver — no consensus
+    #   iteration penalty; requires band_block > 0 and spike_parts > 0)
     backend: str = "auto"
+    # Horizon partition count for backend='spike' (ops/spike.py): the
+    # N=n/band_block diagonal blocks split into this many pieces, each
+    # contributing one separator block to the reduced interface system.
+    spike_parts: int = 0
     cg_tol: float = 1e-9
     cg_max_iter: int = 200
     refine_steps: int = 1       # iterative-refinement steps on the KKT solve
@@ -148,8 +156,11 @@ class Settings:
         if self.check_every < 1:
             raise ValueError("check_every must be >= 1")
         if self.backend not in (
-                "auto", "chol", "inv", "banded", "cg", "pallas_cg"):
+                "auto", "chol", "inv", "banded", "cg", "pallas_cg",
+                "spike"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.backend == "spike" and self.spike_parts <= 0:
+            raise ValueError("backend 'spike' requires spike_parts > 0")
         if self.precision not in ("hybrid", "single", "double"):
             raise ValueError(f"unknown precision {self.precision!r}")
         if self.fused not in ("auto", "on", "off"):

