@@ -181,19 +181,30 @@ def bench_low_thrust(seed: int = 0):
     """Config 4: low-thrust SOCP, N=200 nodes, thrust-magnitude cones.
 
     Near-absolute criterion (eps_abs=1e-6, eps_rel=5e-8): the problem
-    is built in canonical units so the absolute term dominates; the
-    measured landing residual is r_prim ~ 1.2e-6, which round-4
-    experiments showed is the f32-pipeline floor for this DEGENERATE
-    min-fuel SOCP (cost linear in the cone t's: tangent-plane null
-    space ~585-dim). Strictly-below-1e-6 needs a ~50k-iteration
-    first-order grind (no cheap endgame: tangent-linearized polish is
-    unbounded on degenerate instances — core/polish.py docstring — and
-    f64 continuation chatters). Documented in PERF.md; with eps_rel at
-    the default 1e-6 the solver stops at ~4e-6 in 375 iterations."""
+    is built in canonical units so the absolute term dominates, and
+    with rho_soc_scale=100 (below) the measured landing residual is
+    r_prim ~ 8e-7 — strictly below the absolute 1e-6 target. Without
+    the boost this DEGENERATE min-fuel SOCP (cost linear in the cone
+    t's) plateaus at 1.1e-6 after a 40k-iteration grind, and no cheap
+    endgame exists (tangent-linearized polish is unbounded on
+    degenerate instances — core/polish.py docstring; f64 continuation
+    chatters). Measurements in PERF.md."""
     s0 = np.array([500.0, -2000.0, 100.0, 0.0, 1.0, -0.1])
     qp, spec = build_low_thrust_socp(s0, N=200)
     s = Settings(eps_abs=EPS, eps_rel=5e-8, band_block=spec.block,
-                 max_iter=50000)
+                 max_iter=50000,
+                 # Tuned for this DEGENERATE bang-bang SOCP (CPU sweep,
+                 # round 4): most cone blocks sit at the tip (coast
+                 # arcs) where they act as equalities — rho_soc_scale
+                 # 100 makes them converge at the equality rate
+                 # (40,725 -> ~9k iterations AND r_prim lands strictly
+                 # below absolute 1e-6: 8e-7 vs the unboosted 1.1e-6
+                 # f32 floor). The stall heuristic mis-reads the
+                 # boosted descent's long plateaus, so it is off here;
+                 # 'inv' replaces the banded scan (200 sequential
+                 # 10x10 block steps — latency-bound at B=1) with one
+                 # (n, n) MXU matvec per iteration.
+                 rho_soc_scale=100.0, stall_checks=0, backend="inv")
     sol, stats = _timed(lambda: solve(qp, s))
     return _report("low_thrust_socp", sol, stats)
 
@@ -298,13 +309,24 @@ def bench_rowshard(seed: int = 0, n: int = 4096, m: int = 8192):
     from ..parallel.batch import make_data_mesh
     from ..parallel.rowshard import solve_rowsharded_hybrid
 
-    qp = random_box_qp(jax.random.PRNGKey(seed), n=n, m=m,
-                       dtype=jnp.float32)
+    # Generate on the host CPU backend and upload once: the hybrid
+    # driver's f64 true-residual bookkeeping is host-side (see
+    # solve_rowsharded_hybrid) and needs a host copy of the matrices —
+    # fetching 134 MB back over this driver's tunnel measures 3 MB/s,
+    # so the copy must exist BEFORE upload. JAX PRNG bits are platform-
+    # independent, so the problem is identical either way.
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        qp_host = random_box_qp(jax.random.PRNGKey(seed), n=n, m=m,
+                                dtype=jnp.float32)
+    qp = jax.device_put(qp_host, jax.devices()[0])
+    jax.block_until_ready(qp.A)
     ndev = len(jax.devices())
     mesh = make_data_mesh(ndev)
     s = Settings(eps_abs=EPS, eps_rel=EPS, backend="cg")
-    sol, stats = _timed(lambda: solve_rowsharded_hybrid(qp, mesh, s),
-                        reps=8)
+    sol, stats = _timed(
+        lambda: solve_rowsharded_hybrid(qp, mesh, s, qp_host=qp_host),
+        reps=8)
     rep = _report("rowshard_qp4096", sol, stats)
     rep["n"], rep["m"], rep["n_devices"] = n, m, ndev
     return rep

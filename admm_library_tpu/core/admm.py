@@ -50,9 +50,26 @@ def linf(v):
     return jnp.max(jnp.abs(v), axis=-1)
 
 
-def rho_vec_of(rho_bar, eq_mask, settings: Settings):
-    """Per-row penalty: rho_bar, boosted on equality rows (OSQP §5.2)."""
-    return jnp.where(eq_mask, settings.rho_eq_scale * rho_bar, rho_bar)
+def rho_vec_of(rho_bar, eq_mask, settings: Settings, cone=None):
+    """Per-row penalty: rho_bar, boosted on equality rows (OSQP §5.2).
+
+    With `cone` given and Settings.rho_soc_scale != 1, SOC rows get
+    their own boost. Min-fuel SOCPs are bang-bang: most cone blocks sit
+    at the TIP (zero thrust) at the optimum, where the block acts as an
+    equality (Ax_blk = 0) — but only box equalities get rho_eq_scale,
+    so the tip rows converge at the slow inequality rate (measured on
+    config 4: the entire 2.2e-6 primal plateau lives on tip-block u
+    rows while r_dual sits at 1e-7). The scale is UNIFORM across all
+    SOC rows so each block keeps a single rho and the cone projection
+    remains the exact prox (a per-row weighted norm would change the
+    projection).
+    """
+    rv = jnp.where(eq_mask, settings.rho_eq_scale * rho_bar, rho_bar)
+    if cone is not None and cone.m_soc and settings.rho_soc_scale != 1.0:
+        m = rv.shape[-1]
+        soc = jnp.arange(m) >= (m - cone.m_soc)
+        rv = jnp.where(soc, settings.rho_soc_scale * rho_bar, rv)
+    return rv
 
 
 def is_equality_row_shared(qp: QPData):
@@ -342,7 +359,7 @@ def run_admm(qp: QPData, scaling: Scaling, settings: Settings,
     rho0 = jnp.asarray(settings.rho, dtype)
 
     def factor(rho_bar):
-        rv = rho_vec_of(rho_bar, eq_mask, settings)
+        rv = rho_vec_of(rho_bar, eq_mask, settings, qp.cone)
         return kkt.factor_condensed(
             qp.P, qp.A, settings.sigma, rv, backend, band_block,
             spike_parts=settings.spike_parts), rv
@@ -368,7 +385,7 @@ def run_admm(qp: QPData, scaling: Scaling, settings: Settings,
         return (c.status == _UNSOLVED) & (c.it < settings.max_iter)
 
     def body(c: AdmmCarry) -> AdmmCarry:
-        rho_vec = rho_vec_of(c.rho_bar, eq_mask, settings)
+        rho_vec = rho_vec_of(c.rho_bar, eq_mask, settings, qp.cone)
         x, z, y = iterate_block(
             qp, c.fac, c.x, c.z, c.y, rho_vec, settings, backend, k,
             z_off=z_off)
@@ -449,7 +466,7 @@ def run_admm(qp: QPData, scaling: Scaling, settings: Settings,
             new_rho, changed = adapt_rho(rho_bar, res, settings)
             do = adapt_now & changed & (status == _UNSOLVED)
             rho_bar = jnp.where(do, new_rho, rho_bar)
-            rv = rho_vec_of(rho_bar, eq_mask, settings)
+            rv = rho_vec_of(rho_bar, eq_mask, settings, qp.cone)
             fac = dict(c.fac, rho=rv)
 
         if slots > 0:

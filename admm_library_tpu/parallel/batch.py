@@ -113,7 +113,7 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
     B = x0.shape[0]
 
     def factor(rho_bar):
-        rv = admm.rho_vec_of(rho_bar, eq_mask, settings)
+        rv = admm.rho_vec_of(rho_bar, eq_mask, settings, qp.cone)
         return kkt.factor_condensed(
             qp.P, qp.A, settings.sigma, rv, backend, band_block,
             spike_parts=settings.spike_parts), rv
@@ -183,7 +183,7 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
         return c.alive & (c.it < settings.max_iter)
 
     def body(c: BatchCarry) -> BatchCarry:
-        rho_vec = admm.rho_vec_of(c.rho_bar, eq_mask, settings)
+        rho_vec = admm.rho_vec_of(c.rho_bar, eq_mask, settings, qp.cone)
         active = c.status == _UNSOLVED
 
         if use_fused:
@@ -304,7 +304,7 @@ def run_admm_batch_shared(qp: QPData, scaling, settings: Settings,
             do = adapt_now & changed & any_global(still)
             if backend == "cg":
                 rho_bar = jnp.where(do, new_rho, rho_bar)
-                rv = admm.rho_vec_of(rho_bar, eq_mask, settings)
+                rv = admm.rho_vec_of(rho_bar, eq_mask, settings, qp.cone)
                 fac = dict(c.fac, rho=rv)
             else:
                 fac = jax.lax.cond(
@@ -430,12 +430,21 @@ def _phase_inner(qp, x0, z0, y0, settings, backend, mesh=None,
 
 
 def _s32_of_shared(settings: Settings) -> Settings:
-    """f32-phase settings (relaxed eps + f32 condition-number caps)."""
+    """f32-phase settings (relaxed eps + f32 condition-number caps).
+
+    rho_soc_scale is stripped here: the boost targets the LAST-DIGIT
+    tip-row crawl (see Settings), but in the raw-coordinate f32 phase
+    it wrecks conditioning — measured on chip (config 4): the boosted
+    f32 phase chatters at r_p ~ 9e-3 where CPU/f64 converges. The
+    re-centered correction rounds re-apply it (shifted coordinates
+    restore f32 headroom, so the boost only steers the tail dynamics
+    there)."""
     return settings.replace(
         precision="single",
         eps_abs=max(settings.hybrid_eps, settings.eps_abs),
         eps_rel=max(settings.hybrid_eps, settings.eps_rel),
         sigma=max(settings.sigma, 1e-5),
+        rho_soc_scale=1.0,
         rho_eq_scale=min(settings.rho_eq_scale, 1e2))
 
 
@@ -489,7 +498,8 @@ def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
     # Correction rounds: absolute eps at the target tolerance (the
     # eps_rel term scales with the tiny correction norms, so eps_abs
     # dominates — which is exactly the true total-residual criterion).
-    s_c = s1.replace(eps_abs=settings.eps_abs, eps_rel=settings.eps_rel)
+    s_c = s1.replace(eps_abs=settings.eps_abs, eps_rel=settings.eps_rel,
+                     rho_soc_scale=settings.rho_soc_scale)
     B = x_t.shape[0]
     z_t64 = _clean64(sol.z)
 
@@ -694,8 +704,16 @@ def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
     # the common case for 1e-6 targets. Iterations are CAPPED: this is
     # a warm-started last-digit refiner, and emulated-f64 einsums cost
     # ~100x f32 — an uncapped LP tail here is minutes of wall-clock.
+    # stall_checks floor: this phase is a warm-started LAST-DIGIT
+    # refiner — when it plateaus, exiting is always right. Honoring a
+    # caller's stall_checks=0 here let the phase grind its full 8000
+    # emulated-f64 iterations inside the one device program; at
+    # config-4 size (n=2000) that faulted the TPU on the axon stack
+    # (same failure class as the emulated-f64 rowshard matvec,
+    # PERF.md §7) and on any stack it is minutes of wasted wall-clock.
     s64 = settings.replace(precision="single", warm_start=True,
                            recenter_rounds=0,
+                           stall_checks=max(settings.stall_checks, 16),
                            max_iter=min(settings.max_iter, 8000))
 
     def run64(args):

@@ -398,7 +398,9 @@ def solve_rowsharded(qp: QPData, mesh: Mesh, settings: Settings = Settings(),
 
 def solve_rowsharded_hybrid(qp: QPData, mesh: Mesh,
                             settings: Settings = Settings(),
-                            axis: str = "data") -> RowShardSolution:
+                            axis: str = "data",
+                            qp_host: QPData | None = None
+                            ) -> RowShardSolution:
     """Hybrid-precision row-sharded solve: f32 phase + re-centered f32
     refinement rounds to ABSOLUTE eps (VERDICT r2 item 6).
 
@@ -415,7 +417,7 @@ def solve_rowsharded_hybrid(qp: QPData, mesh: Mesh,
     hybrid_eps (honest status; extend with shifted-prox offsets the way
     batch.mask_dual does if mixed-cone rowshard at 1e-6 is ever needed).
     """
-    f32, f64 = jnp.float32, jnp.float64
+    f32 = jnp.float32
     if not jax.config.jax_enable_x64 or settings.precision != "hybrid":
         return solve_rowsharded(qp, mesh, settings, axis=axis)
     s1 = settings.replace(
@@ -427,90 +429,87 @@ def solve_rowsharded_hybrid(qp: QPData, mesh: Mesh,
     if qp.cone.m_l1 or qp.cone.m_soc:
         return solve_rowsharded(qp.astype(f32), mesh, s1, axis=axis)
 
-    qp64 = qp.astype(f64)
     sol = solve_rowsharded(qp.astype(f32), mesh, s1, axis=axis)
-    # Host sync between the sharded f32 phase and the f64 residual
-    # program: at this config's size, queueing both back-to-back
-    # crashed the TPU worker on the axon stack (round 4; each program
-    # runs fine in isolation — verified by bisection). One extra round
-    # trip per phase boundary is noise next to the multi-second solve.
+    # Host sync between the sharded f32 phase and the refinement
+    # rounds: at this config's size, queueing follow-on programs
+    # back-to-back crashed the TPU worker on the axon stack (round 4;
+    # each program runs fine in isolation — verified by bisection).
     jax.block_until_ready(sol.x)
 
+    # The f64 TRUE-residual + re-centering bookkeeping runs HOST-SIDE
+    # in numpy. TPU f64 is XLA-emulated, and at this config's size the
+    # emulated (8192, 4096) matvec program faulted the TPU worker on
+    # the axon stack even chunked into 512-row lax.map slices with a
+    # host sync in front (each piece ran clean in isolation; round 4
+    # bisection). The host needs the problem data in f64 exactly once —
+    # pass `qp_host` (a host/f64 copy, e.g. the generator output before
+    # device upload) to avoid fetching the matrices back over a slow
+    # link; without it the matrices are pulled from the device on
+    # first use. Per round the host does 3 (m, n) f64 matvecs
+    # (~0.3 GFLOP — milliseconds) and ships only iterate-sized vectors
+    # to the device, so every hot iteration stays f32/MXU sharded.
+    hp = qp_host if qp_host is not None else qp
+
+    def h64(v):
+        return np.asarray(v, dtype=np.float64)
+
+    A64, P64, q64 = h64(hp.A), h64(hp.P), h64(hp.q)
+    l64, u64 = h64(hp.l), h64(hp.u)
+
     def clean(v):
-        v = v.astype(f64)
-        return jnp.where(jnp.isfinite(v), v, 0.0)
-
-    # P/A/q enter as jit ARGUMENTS, not closure captures: a captured
-    # concrete array is baked into the HLO as a constant, and at this
-    # config's size (A is 256 MB in f64) the serialized program blew the
-    # axon remote-compile request limit (HTTP 413, round-4 bench crash).
-    # The f64 matvecs run CHUNKED over row blocks (lax.map): TPU f64 is
-    # emulated, and one monolithic 8192x4096 f64 einsum faulted the TPU
-    # worker on this stack — 512-row slices are well inside what the
-    # emulation handles, at identical arithmetic.
-    def _mv64(M64, v):
-        rows = M64.shape[0]
-        c = 512
-        if rows % c:
-            return xprec.einsum("ij,j->i", M64, v)
-        blocks = M64.reshape(rows // c, c, M64.shape[1])
-        out = jax.lax.map(
-            lambda Mb: xprec.einsum("ij,j->i", Mb, v), blocks)
-        return out.reshape(rows)
-
-    @jax.jit
-    def _true_resid(P64, A64, q64, x_t, y_t, z_t):
-        Ax = _mv64(A64, x_t)
-        Px = _mv64(P64, x_t)
-        Aty = _mv64(jnp.swapaxes(A64, 0, 1), y_t)
-        linf = lambda v: jnp.max(jnp.abs(v))
-        r_p = linf(Ax - z_t)
-        r_d = linf(Px + q64 + Aty)
-        eps_p = settings.eps_abs + settings.eps_rel * jnp.maximum(
-            linf(Ax), linf(z_t))
-        eps_d = settings.eps_abs + settings.eps_rel * jnp.maximum(
-            jnp.maximum(linf(Px), linf(Aty)), linf(q64))
-        return Ax, Px, r_p, r_d, (r_p <= eps_p) & (r_d <= eps_d)
+        v = h64(v)
+        return np.where(np.isfinite(v), v, 0.0)
 
     def true_resid(x_t, y_t, z_t):
-        return _true_resid(qp64.P, qp64.A, qp64.q, x_t, y_t, z_t)
+        Ax = A64 @ x_t
+        Px = P64 @ x_t
+        Aty = A64.T @ y_t
+        r_p = float(np.max(np.abs(Ax - z_t)))
+        r_d = float(np.max(np.abs(Px + q64 + Aty)))
+        eps_p = settings.eps_abs + settings.eps_rel * max(
+            float(np.max(np.abs(Ax))), float(np.max(np.abs(z_t))))
+        eps_d = settings.eps_abs + settings.eps_rel * max(
+            float(np.max(np.abs(Px))), float(np.max(np.abs(Aty))),
+            float(np.max(np.abs(q64))))
+        return Ax, Px, r_p, r_d, (r_p <= eps_p) and (r_d <= eps_d)
 
     x_t = clean(sol.x)
     y_t = clean(sol.y)
     z_t = clean(sol.z)
-    iters = sol.iters
+    iters = int(sol.iters)
     rho = sol.rho
     s_c = s1.replace(eps_abs=settings.eps_abs, eps_rel=settings.eps_rel,
                      eps_pinf=0.0, eps_dinf=0.0)
     solved = False
-    r_p = sol.r_prim.astype(f64)
-    r_d = sol.r_dual.astype(f64)
+    r_p = float(sol.r_prim)
+    r_d = float(sol.r_dual)
     for _ in range(max(settings.recenter_rounds, 0)):
-        Ax, Px, r_p, r_d, ok = true_resid(x_t, y_t, z_t)
-        solved = bool(ok)                                  # host sync
+        Ax, Px, r_p, r_d, solved = true_resid(x_t, y_t, z_t)
         if solved:
             break
         qp_c = QPData(
-            P=qp.P.astype(f32), q=(Px + qp64.q).astype(f32),
-            A=qp.A.astype(f32), l=(qp64.l - Ax).astype(f32),
-            u=(qp64.u - Ax).astype(f32), lam=qp.lam.astype(f32),
+            P=qp.P.astype(f32), q=jnp.asarray(Px + q64, f32),
+            A=qp.A.astype(f32), l=jnp.asarray(l64 - Ax, f32),
+            u=jnp.asarray(u64 - Ax, f32), lam=qp.lam.astype(f32),
             cone=qp.cone)
         solc = solve_rowsharded(
             qp_c, mesh, s_c, x0=jnp.zeros_like(qp_c.q),
-            z0=(z_t - Ax).astype(f32), y0=y_t.astype(f32), axis=axis)
+            z0=jnp.asarray(z_t - Ax, f32), y0=jnp.asarray(y_t, f32),
+            axis=axis)
+        jax.block_until_ready(solc.x)
         x_t = x_t + clean(solc.x)
         y_t = clean(solc.y)
         z_t = Ax + clean(solc.z)
-        iters = iters + solc.iters
+        iters = iters + int(solc.iters)
         rho = solc.rho
     if not solved:
-        _, _, r_p, r_d, ok = true_resid(x_t, y_t, z_t)
-        solved = bool(ok)
+        _, _, r_p, r_d, solved = true_resid(x_t, y_t, z_t)
     status = jnp.int32(int(Status.SOLVED if solved else Status.MAX_ITER))
     d = qp.dtype
     return RowShardSolution(
-        x=x_t.astype(d), z=z_t.astype(d), y=y_t.astype(d),
-        status=status, iters=iters,
+        x=jnp.asarray(x_t, d), z=jnp.asarray(z_t, d),
+        y=jnp.asarray(y_t, d), status=status,
+        iters=jnp.int32(iters),
         r_prim=jnp.asarray(r_p, d), r_dual=jnp.asarray(r_d, d), rho=rho)
 
 

@@ -29,6 +29,15 @@ class Settings:
     # in the consensus-MC bench config, NOT here. The default -1 follows
     # rho_eq_scale, which is robust across problem scales.
     rho_edge_scale: float = -1.0
+    # rho boost on SOC rows (uniform across each block so the cone
+    # projection stays the exact prox). Degenerate min-fuel SOCPs are
+    # bang-bang: most blocks sit at the cone TIP at the optimum, acting
+    # as equalities (Ax_blk = 0) that the eq boost does not cover —
+    # config 4's primal residual plateaus on exactly those rows.
+    # Swept on that config (CPU f64, scripts/ records): see bench
+    # config for the tuned value; 1.0 = no boost (default, neutral for
+    # all other workloads).
+    rho_soc_scale: float = 1.0
     sigma: float = 1e-6         # x-update regularisation
     alpha: float = 1.6          # over-relaxation in (0, 2)
 
