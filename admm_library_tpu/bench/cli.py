@@ -116,7 +116,18 @@ def _timed(fn, *args, reps=20, budget_s=3.0):
     return out, stats
 
 
-def _report(name, sol, stats, batch=1):
+def _settings_delta(s):
+    """Non-default Settings fields — each config's report records the
+    exact convergence criterion and tuning it ran with, so a capture is
+    self-describing (ADVICE r4)."""
+    import dataclasses
+    base = Settings()
+    return {f.name: getattr(s, f.name)
+            for f in dataclasses.fields(s)
+            if getattr(s, f.name) != getattr(base, f.name)}
+
+
+def _report(name, sol, stats, batch=1, settings=None):
     """Bench record. `iters` is the lockstep (slowest-lane) count that
     sets wall-clock; per-lane honest counts are summarised so the
     throughput numbers stay interpretable (VERDICT r1 item 9). `stats`
@@ -133,6 +144,8 @@ def _report(name, sol, stats, batch=1):
     dt = stats["wall_clock_s"]
     return {
         "config": name,
+        **({"settings": _settings_delta(settings)}
+           if settings is not None else {}),
         "status": "SOLVED" if all_solved else "NOT_ALL_SOLVED",
         "status_counts": status_counts,
         "iters": iters,
@@ -153,7 +166,7 @@ def bench_random_qp(seed: int = 0):
     qp = random_box_qp(jax.random.PRNGKey(seed))
     s = Settings(eps_abs=EPS, eps_rel=EPS)
     sol, stats = _timed(lambda: solve(qp, s))
-    return _report("random_qp", sol, stats)
+    return _report("random_qp", sol, stats, settings=s)
 
 
 def bench_mpc(seed: int = 0):
@@ -163,7 +176,7 @@ def bench_mpc(seed: int = 0):
     qp, spec = build_mpc_qp(s0, np.zeros(6), N=50, dim=3)
     s = Settings(eps_abs=EPS, eps_rel=EPS, band_block=spec.block)
     sol, stats = _timed(lambda: solve(qp, s))
-    return _report("mpc_rendezvous", sol, stats)
+    return _report("mpc_rendezvous", sol, stats, settings=s)
 
 
 def bench_cw(seed: int = 0):
@@ -174,7 +187,7 @@ def bench_cw(seed: int = 0):
     qp, spec = build_cw_rendezvous(s0, N=20)
     s = Settings(eps_abs=EPS, eps_rel=EPS, max_iter=50000)
     sol, stats = _timed(lambda: solve(qp, s))
-    return _report("cw_minfuel", sol, stats)
+    return _report("cw_minfuel", sol, stats, settings=s)
 
 
 def bench_low_thrust(seed: int = 0):
@@ -206,7 +219,7 @@ def bench_low_thrust(seed: int = 0):
                  # (n, n) MXU matvec per iteration.
                  rho_soc_scale=100.0, stall_checks=0, backend="inv")
     sol, stats = _timed(lambda: solve(qp, s))
-    return _report("low_thrust_socp", sol, stats)
+    return _report("low_thrust_socp", sol, stats, settings=s)
 
 
 def bench_monte_carlo(seed: int = 0, batch: int = 1024):
@@ -226,7 +239,8 @@ def bench_monte_carlo(seed: int = 0, batch: int = 1024):
     s = Settings(eps_abs=EPS, eps_rel=EPS, history=hist,
                  fused=os.environ.get("ADMM_TPU_FUSED", "auto"))
     sol, stats = _timed(lambda: solve_batch_shared(qp, s))
-    rep = _report(f"monte_carlo_{batch}", sol, stats, batch=batch)
+    rep = _report(f"monte_carlo_{batch}", sol, stats, batch=batch,
+                  settings=s)
     if hist:
         h = np.asarray(sol.history)
         h = h[h[:, 0] > 0]
@@ -266,7 +280,8 @@ def bench_consensus_mc(seed: int = 0, batch: int = 1024, N: int = 50,
     # here in the bench config, not in the Settings default (ADVICE r3).
     s = Settings(eps_abs=EPS, eps_rel=EPS, rho_edge_scale=30.0)
     sol, stats = _timed(lambda: consensus_solve_mc(qp, spec, mesh, s))
-    rep = _report(f"consensus_mc_{batch}", sol, stats, batch=batch)
+    rep = _report(f"consensus_mc_{batch}", sol, stats, batch=batch,
+                  settings=s)
     rep["n_blocks"] = n_blocks
     rep["mesh"] = dict(mesh.shape)
     return rep
@@ -289,7 +304,8 @@ def bench_horizon_spike(seed: int = 0, batch: int = 1024, N: int = 50,
     s = Settings(eps_abs=EPS, eps_rel=EPS, band_block=spec.block,
                  backend="spike", spike_parts=parts)
     sol, stats = _timed(lambda: solve_batch_shared(qp, s))
-    rep = _report(f"horizon_spike_{batch}", sol, stats, batch=batch)
+    rep = _report(f"horizon_spike_{batch}", sol, stats, batch=batch,
+                  settings=s)
     rep["spike_parts"] = parts
     return rep
 
@@ -327,7 +343,7 @@ def bench_rowshard(seed: int = 0, n: int = 4096, m: int = 8192):
     sol, stats = _timed(
         lambda: solve_rowsharded_hybrid(qp, mesh, s, qp_host=qp_host),
         reps=8)
-    rep = _report("rowshard_qp4096", sol, stats)
+    rep = _report("rowshard_qp4096", sol, stats, settings=s)
     rep["n"], rep["m"], rep["n_devices"] = n, m, ndev
     return rep
 

@@ -114,8 +114,14 @@ def _polish_inner(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
             "...ji,...j->...i", qp.A,
             lam_sign)
     # --- SOC activation via tangent linearization (module docstring) ---
+    # Uniform block dims only: the vectorised (n_soc, d) reshape below
+    # requires them, and every builder emits uniform cones. Non-uniform
+    # layouts fall back to the round-3 rule — SOC rows never activate,
+    # keep the input dual there, project Ax per block for z, and let the
+    # acceptance test decide (ADVICE r4).
+    soc_lin = bool(cone.m_soc) and cone.soc_uniform
     soc0 = mb + ml
-    if cone.m_soc:
+    if soc_lin:
         d = cone.soc_dims[0]
         shp = z0[..., soc0:].shape[:-1] + (cone.n_soc, d)
         zb = z0[..., soc0:].reshape(shp)
@@ -167,7 +173,7 @@ def _polish_inner(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
     def build_M(A_tan_, c_curv_=None, uh_=None):
         M_ = (qp.P + delta * jnp.eye(qp.n, dtype=dtype)
               + xprec.einsum("...ji,...j,...jk->...ik", qp.A, w, qp.A))
-        if cone.m_soc:
+        if soc_lin:
             M_ = M_ + xprec.einsum("...ki,...k,...kj->...ij",
                                    A_tan_, w_soc, A_tan_)
             # Lagrangian curvature of the active cone, (s/||u||) *
@@ -186,7 +192,7 @@ def _polish_inner(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
                                    r_u, c_curv_, r_u)
         return M_, jnp.linalg.cholesky(M_)
 
-    M, L = (build_M(A_tan, c_curv, u_hat) if cone.m_soc
+    M, L = (build_M(A_tan, c_curv, u_hat) if soc_lin
             else build_M(None))
 
     def solve_M(L_, M_, r):
@@ -207,17 +213,17 @@ def _polish_inner(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
     # had cond(M) ~ 1/delta^2 and was rejected by the acceptance test.
     y_mult = jnp.zeros_like(z0)
     s_soc = (jnp.zeros(z0.shape[:-1] + (cone.n_soc,), dtype)
-             if cone.m_soc else None)
+             if soc_lin else None)
     x = jnp.zeros_like(x0)
     for it in range(3):
         rhs = -q_eff + xprec.einsum(
             "...ji,...j->...i", qp.A, w * b - jnp.where(act, y_mult, 0.0))
-        if cone.m_soc:
+        if soc_lin:
             rhs = rhs - xprec.einsum("...ki,...k->...i", A_tan, s_soc)
         x = solve_M(L, M, rhs)
         Ax = xprec.einsum("...ij,...j->...i", qp.A, x)
         y_mult = y_mult + w * (Ax - b)
-        if cone.m_soc:
+        if soc_lin:
             s_soc = s_soc + w_soc * xprec.einsum(
                 "...ki,...i->...k", A_tan, x)
             if it < 2:
@@ -248,7 +254,7 @@ def _polish_inner(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
                 M, L = build_M(A_tan, c_curv, u_hat)
 
     y = jnp.where(act, y_mult, 0.0) + lam_sign
-    if cone.m_soc:
+    if soc_lin:
         # Boundary blocks: y = s * (1, -u_hat) (the tangent row's
         # multiplier mapped back onto the block's A rows); tip blocks:
         # the AL multipliers of the pinned rows; interior: 0.
@@ -258,15 +264,17 @@ def _polish_inner(qp: QPData, sol: Solution, eps_abs: float, eps_rel: float,
         y_bnd = y_bnd.reshape(z0[..., soc0:].shape)
         y_tip = jnp.where(tip_rows, y_mult[..., soc0:], 0.0)
         y = y.at[..., soc0:].set(y_bnd + y_tip)
+    elif cone.m_soc:
+        # Non-uniform fallback: keep the input dual on SOC rows.
+        y = y.at[..., soc0:].set(y0[..., soc0:])
     z = jnp.where(act, b, Ax)
     if cone.m_soc:
         # SOC z: the cone projection of Ax per block (exact membership;
-        # for interior blocks the projection is the identity).
-        from ..ops.prox import project_soc_block
-        Axb = Ax[..., soc0:].reshape(shp)
-        pt, pu = project_soc_block(Axb[..., 0], Axb[..., 1:])
-        z_soc = jnp.concatenate([pt[..., None], pu], axis=-1)
-        z = z.at[..., soc0:].set(z_soc.reshape(z0[..., soc0:].shape))
+        # for interior blocks the projection is the identity;
+        # project_soc_rows handles non-uniform dims with a static loop).
+        from ..ops.prox import project_soc_rows
+        z_soc = project_soc_rows(Ax[..., soc0:], cone.soc_dims)
+        z = z.at[..., soc0:].set(z_soc)
     if ml:
         sl = slice(mb, mb + ml)
         z = z.at[..., sl].set(jnp.where(act[..., sl], b[..., sl],

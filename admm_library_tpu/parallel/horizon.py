@@ -151,6 +151,18 @@ def partition_qp(qp: QPData, b: int, parts: int, row_time) -> tuple:
         A_loc[p, :len(rows)] = Ap[:, c0:c0 + npb]
         if p > 0:
             A_halo[p, :len(rows)] = Ap[:, c0 - b:c0]
+            # The SPIKE factor truncates the cross-part coupling to
+            # E = (A_loc' rho A_halo)[:, :b, :] — valid only when every
+            # halo-touching row couples exclusively to the part's FIRST
+            # variable block. A row that passed the band check above
+            # but reached past [c0, c0+b) would silently drop coupling
+            # and corrupt the factor (ADVICE r4) — reject it here.
+            halo_rows = np.abs(Ap[:, c0 - b:c0]).sum(1) > 0
+            beyond = np.abs(Ap[:, c0 + b:c0 + npb]).sum(1)
+            if halo_rows.any() and (beyond[halo_rows] > 0).any():
+                raise ValueError(
+                    f"part {p}: halo rows reach past the first "
+                    "variable block — unsupported coupling pattern")
         l_p[:, p, :len(rows)] = l2[:, rows]
         u_p[:, p, :len(rows)] = u2[:, rows]
     if not batched:

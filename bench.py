@@ -12,29 +12,40 @@ alongside in `detail` — no extrapolation anywhere (VERDICT r1 items 1-2).
 
 Robustness (VERDICT r4 item 1 — round 4's driver run timed out before
 the single end-of-run print executed, erasing the round's evidence):
-  * The headline config runs FIRST and its JSON line is printed+flushed
-    immediately; every later config re-prints the full line, so stdout
-    always ends with a parseable record of everything measured so far.
+
+  * The PARENT process never initializes JAX. Every config group runs
+    in a SUBPROCESS (`python -m admm_library_tpu.bench.cli <configs>`),
+    because a TPU device fault is process-fatal on this stack: once one
+    config faults the chip, every later program in the same process
+    returns UNAVAILABLE (measured this round: a rowshard fault poisoned
+    the subsequent low-thrust config). Subprocess isolation turns a
+    fault into one {"error": ...} entry instead of a dead round.
+  * The headline config runs FIRST in its own subprocess and its JSON
+    line is printed+flushed immediately; every later config re-prints
+    the full line, so stdout always ends with a parseable record of
+    everything measured so far.
   * A wall-clock budget (ADMM_BENCH_BUDGET_S, default 1200 s) skips
-    remaining configs with {"skipped": true} entries once exceeded.
-  * Each extra config is wrapped in try/except — a crash in config N
-    cannot erase configs 1..N-1.
+    remaining groups with {"skipped": true} entries once exceeded; each
+    subprocess also gets a hard timeout slice of the remaining budget.
   * SIGTERM (what `timeout` sends first) re-emits the current line
     before exiting.
 """
 import json
 import os
 import signal
+import subprocess
 import sys
 import time
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
 
 BUDGET_S = float(os.environ.get("ADMM_BENCH_BUDGET_S", "1200"))
+T_START = time.time()
 
 _out = {}
+_child = None
 
 
 def _emit():
@@ -43,6 +54,8 @@ def _emit():
 
 
 def _on_term(signum, frame):
+    if _child is not None and _child.poll() is None:
+        _child.terminate()
     _emit()
     sys.exit(128 + signum)
 
@@ -50,60 +63,101 @@ def _on_term(signum, frame):
 signal.signal(signal.SIGTERM, _on_term)
 
 
-def main():
-    t_start = time.time()
-    from admm_library_tpu.bench.cli import (bench_consensus_mc, bench_cw,
-                                            bench_horizon_spike,
-                                            bench_low_thrust, bench_mpc,
-                                            bench_monte_carlo,
-                                            bench_random_qp, bench_rowshard)
-    from admm_library_tpu.parallel.runtime import describe
+# bench.cli registry name -> the config name its report carries.
+_REPORT_NAME = {
+    "monte_carlo": "monte_carlo_1024",
+    "horizon_spike": "horizon_spike_1024",
+    "consensus_mc": "consensus_mc_1024",
+    "rowshard": "rowshard_qp4096",
+}
 
-    # Headline FIRST: from this print on, the round has driver evidence.
-    r128 = bench_monte_carlo(seed=0, batch=128)
-    _out.update({
-        "metric": "admm_iters_per_s_chip_mc_h50_batch128",
-        "value": r128["iters_per_s"],
-        "unit": "iters/s",
-        "vs_baseline": r128["iters_per_s"] / 1.0e4,
-        "detail": {
-            "monte_carlo_128": r128,
-            "topology": describe(),
-        },
-    })
+
+def _run_group(config_names, timeout_s):
+    """Run a group of bench configs in one subprocess; merge each JSON
+    line (one per config, streamed by bench.cli) into _out as it
+    arrives, re-emitting the full headline line after each."""
+    global _child
+    cmd = [sys.executable, "-m", "admm_library_tpu.bench.cli",
+           *config_names]
+    _child = subprocess.Popen(
+        cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=sys.stderr,
+        text=True)
+    deadline = time.time() + timeout_s
+    got = set()
+
+    def harvest_line(line):
+        line = line.strip()
+        if not line.startswith("{"):
+            return
+        try:
+            rep = json.loads(line)
+        except json.JSONDecodeError:
+            return
+        name = rep.get("config")
+        if not name:
+            return
+        got.add(name)
+        if name == "monte_carlo_128":
+            _out.update({
+                "metric": "admm_iters_per_s_chip_mc_h50_batch128",
+                "value": rep["iters_per_s"],
+                "unit": "iters/s",
+                "vs_baseline": rep["iters_per_s"] / 1.0e4,
+            })
+            _out.setdefault("detail", {})
+        _out.setdefault("detail", {})[name] = rep
+        _emit()
+
+    try:
+        for line in _child.stdout:
+            harvest_line(line)
+            if time.time() > deadline:
+                _child.terminate()
+                break
+        _child.wait(timeout=max(5.0, deadline - time.time()))
+    except subprocess.TimeoutExpired:
+        _child.kill()
+    rc = _child.poll()
+    _child = None
+    for name in config_names:
+        rep_name = _REPORT_NAME.get(name, name)
+        if rep_name not in got:
+            _out.setdefault("detail", {})[rep_name] = {
+                "error": f"subprocess exited rc={rc} "
+                         f"before reporting this config"}
     _emit()
 
-    # Remaining configs, cheapest first; each one re-prints the full
-    # line on completion (or on error) so a kill between configs still
-    # leaves the latest complete record on stdout.
-    extras = [
-        ("monte_carlo_1024", lambda: bench_monte_carlo(seed=0, batch=1024)),
-        # Exact horizon partition: same 325 iterations as the
-        # un-partitioned batch by construction (SPIKE x-update), vs the
-        # boundary-averaging consensus run below (VERDICT r3 item 5).
-        ("horizon_spike_1024", lambda: bench_horizon_spike(seed=0,
-                                                           batch=1024)),
-        ("consensus_mc_1024", lambda: bench_consensus_mc(seed=0,
-                                                         batch=1024)),
-        ("random_qp", bench_random_qp),
-        ("mpc_rendezvous", bench_mpc),
-        ("cw_minfuel", bench_cw),
-        ("rowshard_qp4096", bench_rowshard),
-        ("low_thrust_socp", bench_low_thrust),
+
+def main():
+    # Groups, most-important first. The headline runs alone so its
+    # evidence line lands within the first couple of minutes; the known
+    # fault-prone configs (rowshard's big-program CG, low-thrust's long
+    # stall grind) each get their own process.
+    groups = [
+        ["monte_carlo_128"],
+        ["monte_carlo", "horizon_spike", "consensus_mc",
+         "random_qp", "mpc_rendezvous", "cw_minfuel"],
+        ["low_thrust_socp"],
+        ["rowshard"],
     ]
-    for name, fn in extras:
-        elapsed = time.time() - t_start
-        if elapsed > BUDGET_S:
-            _out["detail"][name] = {"skipped": True,
-                                    "reason": f"budget {BUDGET_S:.0f}s "
-                                              f"exceeded at {elapsed:.0f}s"}
+    for g in groups:
+        elapsed = time.time() - T_START
+        remaining = BUDGET_S - elapsed
+        if remaining < 30:
+            for name in g:
+                _out.setdefault("detail", {})[name] = {
+                    "skipped": True,
+                    "reason": f"budget {BUDGET_S:.0f}s exceeded "
+                              f"at {elapsed:.0f}s"}
             _emit()
             continue
-        try:
-            _out["detail"][name] = fn()
-        except Exception as e:  # noqa: BLE001 — partial results > crash
-            _out["detail"][name] = {"error": repr(e)[:300]}
-        _emit()
+        _run_group(g, remaining)
+
+    # Topology note (static; no JAX init needed in the parent).
+    _out.setdefault("detail", {})["topology"] = {
+        "note": "per-config reports measured in isolated subprocesses "
+                "on the tunnelled single chip"}
+    _emit()
     return 0
 
 

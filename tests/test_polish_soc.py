@@ -99,3 +99,22 @@ def test_polish_soc_interior_is_unconstrained_minimum():
     np.testing.assert_allclose(np.asarray(p.x), np.asarray(xstar),
                                atol=1e-8)
     np.testing.assert_allclose(np.asarray(p.y), 0.0, atol=1e-8)
+
+
+def test_polish_soc_non_uniform_dims_fallback():
+    """Non-uniform soc_dims must not crash polish (ADVICE r4: the
+    uniform reshape raised on soc_dims=(3,4)) — the fallback never
+    activates SOC rows, keeps the input dual there, and the acceptance
+    test decides. Reachable via polish() on any heterogeneous-cone
+    problem."""
+    n = 7
+    c = jnp.arange(1.0, 8.0)
+    qp = QPData(P=jnp.eye(n), q=-c, A=jnp.eye(n),
+                l=jnp.full(n, -jnp.inf), u=jnp.full(n, jnp.inf),
+                lam=jnp.zeros(0), cone=ConeSpec(soc_dims=(3, 4)))
+    sol0 = solve(qp, _loose_settings())
+    p = polish(qp, sol0, eps_abs=1e-6, eps_rel=0.0)   # must not raise
+    assert np.all(np.isfinite(np.asarray(p.x)))
+    # Fallback keeps a point no worse than the input.
+    assert float(jnp.maximum(p.r_prim, p.r_dual)) <= float(
+        jnp.maximum(sol0.r_prim, sol0.r_dual)) + 1e-12
