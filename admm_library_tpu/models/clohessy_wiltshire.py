@@ -44,10 +44,19 @@ class CWSpec:
     n_mean: float           # target mean motion [rad / time-unit]
     s_target: tuple = (0.0,) * 6
     row_scale: tuple = (1.0,) * 6   # terminal-row normalisation factors
+    # Canonical units of the SPARSE transcription (1.0 = dimensional).
+    lu: float = 1.0         # length unit [m]
+    tu: float = 1.0         # time unit [s]
 
     @property
     def n(self) -> int:
         return 3 * self.N
+
+    def state_to_nd(self, s):
+        """SI state (m, m/s) -> nondimensional (LU, LU/TU)."""
+        s = np.asarray(s, np.float64)
+        return np.concatenate([s[..., :3] / self.lu,
+                               s[..., 3:] * (self.tu / self.lu)], -1)
 
 
 def cw_stm(n: float, t: float) -> np.ndarray:
@@ -143,6 +152,116 @@ def build_cw_rendezvous(s0, s_target=None, N: int = 20, dt: float = 300.0,
         jnp.asarray(l, dtype), jnp.asarray(u, dtype), cone=cone,
         lam=jnp.full(m_l1, lam, dtype))
     return qp, spec
+
+
+def build_cw_rendezvous_sparse(s0, s_target=None, N: int = 20,
+                               dt: float = 300.0,
+                               n_mean: float = 1.1288e-3,
+                               dv_max: float = 1.0, lam: float = 1.0,
+                               reg: float = 1e-6, dtype=jnp.float32):
+    """Banded state-space transcription of the L1 min-fuel CW problem.
+
+    Unlike `build_cw_rendezvous` (states eliminated through the STM —
+    6 dense terminal rows spanning every impulse), this keeps the states
+    as decision variables so A is BLOCK-BANDED and the problem horizon-
+    partitions (parallel/horizon.py). Variables per step k (block b=9):
+    [dv_k (3), s_{k+1} (6)]. Rows, in the canonical [box | L1] order:
+
+        N*6 dynamics equalities  s_{k+1} - Phi s_k - Phi B dv_k = rhs_k
+             (rhs_0 = Phi s_0, else 0) — time k; s_k sits in the LAST 6
+             entries of block k-1 (the halo block)
+        6   terminal equalities  s_N = s_target — time N-1
+        N*3 bounded L1 rows on dv_k (lam, ±dv_max) — time k
+
+    Built in CANONICAL units (LU = ‖r0‖, TU = 1/n — nondimensional mean
+    motion 1, all data O(1)): the horizon SPIKE path runs WITHOUT Ruiz
+    scaling (exact-partition parity), and in raw SI seconds the STM's
+    s/n ≈ t entries (~600) push the explicit-inverse Schur pieces to a
+    1e-4 solve defect in f64 (measured round 5); canonical units
+    restore machine-level defects. dv and lam are nondimensional
+    (LU/TU); spec.lu/tu convert back.
+
+    Same physics/optimum as the condensed form (the states are
+    eliminated exactly there); row_time map:
+    parallel.horizon.cw_sparse_row_time. Returns (QPData, CWSpec).
+    """
+    s0 = np.asarray(s0, np.float64)
+    s_t = (np.zeros(6) if s_target is None
+           else np.asarray(s_target, np.float64))
+    lu = max(float(np.linalg.norm(s0[:3])), 1.0)
+    tu = 1.0 / n_mean
+    spec0 = CWSpec(N=N, dt=dt, n_mean=n_mean, lu=lu, tu=tu)
+    s0 = spec0.state_to_nd(s0)
+    s_t = spec0.state_to_nd(s_t)
+    dv_max = dv_max * tu / lu
+    b = 9
+    nvar = N * b
+    Phi = cw_stm(1.0, dt / tu)
+    B = np.zeros((6, 3))
+    B[3:, :] = np.eye(3)
+    PhiB = Phi @ B
+
+    def dv_idx(k):
+        return k * b
+
+    def s_idx(k):            # state s_{k+1} lives in block k
+        return k * b + 3
+
+    m_dyn, m_term, m_l1 = N * 6, 6, N * 3
+    m_box = m_dyn + m_term
+    m = m_box + m_l1
+    A = np.zeros((m, nvar))
+    l = np.zeros(m)
+    u = np.zeros(m)
+    for k in range(N):
+        r = k * 6
+        A[r:r + 6, s_idx(k):s_idx(k) + 6] = np.eye(6)
+        A[r:r + 6, dv_idx(k):dv_idx(k) + 3] = -PhiB
+        if k > 0:
+            A[r:r + 6, s_idx(k - 1):s_idx(k - 1) + 6] = -Phi
+            rhs = np.zeros(6)
+        else:
+            rhs = Phi @ s0
+        l[r:r + 6] = rhs
+        u[r:r + 6] = rhs
+    r = m_dyn
+    A[r:r + 6, s_idx(N - 1):s_idx(N - 1) + 6] = np.eye(6)
+    l[r:r + 6] = s_t
+    u[r:r + 6] = s_t
+    r = m_box
+    for k in range(N):
+        A[r + 3 * k:r + 3 * k + 3, dv_idx(k):dv_idx(k) + 3] = np.eye(3)
+    l[r:] = -dv_max
+    u[r:] = dv_max
+
+    P = reg * np.eye(nvar)
+    q = np.zeros(nvar)
+    cone = ConeSpec(m_box=m_box, m_l1=m_l1)
+    qp = make_qp(
+        jnp.asarray(P, dtype), jnp.asarray(q, dtype), jnp.asarray(A, dtype),
+        jnp.asarray(l, dtype), jnp.asarray(u, dtype), cone=cone,
+        lam=jnp.full(m_l1, lam, dtype))
+    spec = CWSpec(N=N, dt=dt, n_mean=n_mean,
+                  s_target=tuple(map(float, s_t)), lu=lu, tu=tu)
+    return qp, spec
+
+
+def cw_sparse_bounds_for_s0(qp: QPData, spec: CWSpec, s0):
+    """Rebuild (l, u) of the SPARSE transcription for a dispersed s0.
+
+    Only the first 6 dynamics rows (rhs_0 = Phi s_0) depend on s0, so
+    Monte-Carlo dispersions share (P, q, A). Batched s0 (..., 6) ok;
+    s0 is SI and is nondimensionalised with the spec's canonical units.
+    """
+    Phi = jnp.asarray(cw_stm(1.0, spec.dt / spec.tu), qp.dtype)
+    rhs = jnp.einsum("ij,...j->...i", Phi,
+                     jnp.asarray(spec.state_to_nd(s0), qp.dtype))
+    batch = rhs.shape[:-1]
+    l = jnp.broadcast_to(qp.l, batch + qp.l.shape[-1:])
+    u = jnp.broadcast_to(qp.u, batch + qp.u.shape[-1:])
+    l = l.at[..., :6].set(rhs)
+    u = u.at[..., :6].set(rhs)
+    return l, u
 
 
 def cw_bounds_for_s0(qp: QPData, spec: CWSpec, s0):

@@ -102,3 +102,76 @@ def test_horizon_f32():
     sol = solve_horizon_sharded(hp, hspec, mesh, s)
     assert np.all(np.asarray(sol.status) == int(Status.SOLVED))
     assert float(np.max(np.asarray(sol.r_prim))) < 1e-3
+
+
+def test_horizon_l1_matches_unpartitioned():
+    """L1 rows (banded CW min-fuel transcription): iterate parity with
+    solve_batch_shared on a (data=2, horizon=4) mesh (VERDICT r4 item 4
+    — the v1 scope was box-only)."""
+    from admm_library_tpu.models.clohessy_wiltshire import (
+        build_cw_rendezvous_sparse, cw_sparse_bounds_for_s0)
+    from admm_library_tpu.parallel.horizon import cw_sparse_row_time
+    from admm_library_tpu.problem import QPData
+
+    N = 8
+    qp1, spec = build_cw_rendezvous_sparse(
+        np.array([5.0, -3.0, 1.0, 0.01, 0.02, -0.01]), N=N, dt=600.0,
+        lam=0.1, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    s0s = (np.array([5.0, -3.0, 1.0, 0.01, 0.02, -0.01])
+           + 0.1 * rng.standard_normal((4, 6)))
+    l, u = cw_sparse_bounds_for_s0(qp1, spec, s0s)
+    qp = QPData(P=qp1.P, q=qp1.q, A=qp1.A, l=l, u=u, lam=qp1.lam,
+                cone=qp1.cone)
+    row_time = cw_sparse_row_time(N)
+    hp, hspec = partition_qp(qp, 9, 4, row_time)
+    assert hspec.cone.m_l1 > 0
+    mesh = make_mesh(data=2, horizon=4)
+    sol_h = solve_horizon_sharded(hp, hspec, mesh, PLAIN)
+    assert np.all(np.asarray(sol_h.status) == int(Status.SOLVED)), \
+        np.asarray(sol_h.status)
+    sol_ref = solve_batch_shared(qp, PLAIN.replace(backend="chol"))
+    assert np.all(np.asarray(sol_ref.status) == int(Status.SOLVED))
+    np.testing.assert_array_equal(np.asarray(sol_h.iters),
+                                  np.asarray(sol_ref.iters))
+    x_h = np.asarray(sol_h.x).reshape(4, -1)
+    x_r = np.asarray(sol_ref.x)
+    dx = np.max(np.abs(x_h - x_r))
+    assert dx < 1e-8 * (1.0 + np.max(np.abs(x_r))), dx
+
+
+def test_horizon_soc_matches_unpartitioned():
+    """SOC blocks (low-thrust thrust-magnitude cones): iterate parity
+    with solve_batch_shared on a (data=1, horizon=4) mesh."""
+    from admm_library_tpu.models.low_thrust import (build_low_thrust_socp,
+                                                    lt_bounds_for_s0)
+    from admm_library_tpu.parallel.horizon import lt_row_time
+    from admm_library_tpu.problem import QPData
+
+    N = 8
+    qp1, spec = build_low_thrust_socp(
+        np.array([500.0, -2000.0, 100.0, 0.0, 1.0, -0.1]), N=N,
+        dt=600.0, dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    s0s = (np.array([500.0, -2000.0, 100.0, 0.0, 1.0, -0.1])
+           + np.array([20, 20, 5, 0.01, 0.01, 0.01])
+           * rng.standard_normal((2, 6)))
+    l, u = lt_bounds_for_s0(qp1, spec, s0s)
+    qp = QPData(P=qp1.P, q=qp1.q, A=qp1.A, l=l, u=u, lam=qp1.lam,
+                cone=qp1.cone)
+    row_time = lt_row_time(N)
+    hp, hspec = partition_qp(qp, spec.block, 4, row_time)
+    assert hspec.cone.m_soc > 0
+    mesh = make_mesh(data=1, horizon=4, devices=jax.devices()[:4])
+    s = PLAIN.replace(max_iter=40000)
+    sol_h = solve_horizon_sharded(hp, hspec, mesh, s)
+    assert np.all(np.asarray(sol_h.status) == int(Status.SOLVED)), \
+        np.asarray(sol_h.status)
+    sol_ref = solve_batch_shared(qp, s.replace(backend="chol"))
+    assert np.all(np.asarray(sol_ref.status) == int(Status.SOLVED))
+    np.testing.assert_array_equal(np.asarray(sol_h.iters),
+                                  np.asarray(sol_ref.iters))
+    x_h = np.asarray(sol_h.x).reshape(2, -1)
+    x_r = np.asarray(sol_ref.x)
+    dx = np.max(np.abs(x_h - x_r))
+    assert dx < 1e-8 * (1.0 + np.max(np.abs(x_r))), dx
