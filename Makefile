@@ -16,6 +16,12 @@ PY := python
 verify: test dryrun
 
 test:
+	$(PY) scripts/test_shards.py 2
+
+# Single-process fallback (the sharded runner is the default: ~519 s
+# -> ~5 min wall on this 2-core box, and it bounds the per-process
+# native-state growth behind the old late-suite segfault).
+test-serial:
 	$(PY) -m pytest tests/ -q
 
 dryrun:

@@ -45,16 +45,16 @@ def resolve_backend(settings: Settings, qp_n: int | None = None) -> str:
 
 
 def _solve_one_phase(qp: QPData, x0, z0, y0, settings: Settings,
-                     backend: str, z_off=None):
+                     backend: str, z_off=None, rho0=None):
     # Exact-f32 dots for everything traced below (triangular solves,
     # residuals): TPU default matmul precision diverges — see xprec.
     with xprec.highest():
         return _solve_one_phase_inner(qp, x0, z0, y0, settings, backend,
-                                      z_off)
+                                      z_off, rho0)
 
 
 def _solve_one_phase_inner(qp: QPData, x0, z0, y0, settings: Settings,
-                           backend: str, z_off=None):
+                           backend: str, z_off=None, rho0=None):
     qps, scaling = ruiz_equilibrate(qp, settings.scaling_iters)
     if settings.warm_start:
         xs = scaling.scale_x(x0)
@@ -66,7 +66,7 @@ def _solve_one_phase_inner(qp: QPData, x0, z0, y0, settings: Settings,
         z_off = scaling.scale_z(z_off)      # offsets live in z-space
     carry = admm.run_admm(
         qps, scaling, settings, xs, zs, ys, backend,
-        band_block=settings.band_block, z_off=z_off)
+        band_block=settings.band_block, z_off=z_off, rho0=rho0)
     x = scaling.unscale_x(carry.x)
     z = scaling.unscale_z(carry.z)
     y = scaling.unscale_y(carry.y)
@@ -156,9 +156,40 @@ def _phase_off_jit(qp, x0, z0, y0, z_off, settings, backend):
     return _solve_one_phase(qp, x0, z0, y0, settings, backend, z_off=z_off)
 
 
+@partial(jax.jit, static_argnames=("settings", "backend"))
+def _phase_rho_jit(qp, x0, z0, y0, rho0, settings, backend):
+    """Phase with a TRACED warm rho0 (see run_admm's rho0 note)."""
+    return _solve_one_phase(qp, x0, z0, y0, settings, backend, rho0=rho0)
+
+
 @partial(jax.jit, static_argnames=("eps_abs", "eps_rel", "act_tol"))
 def _polish_jit(qp64, sol, eps_abs, eps_rel, act_tol):
     return polish_fn(qp64, sol, eps_abs, eps_rel, act_tol=act_tol)
+
+
+@partial(jax.jit, static_argnames=("eps_abs", "eps_rel"))
+def _warm_check_jit(qp64, x0, z0, y0, eps_abs, eps_rel):
+    """f64 mixed-criterion check of a user-supplied warm start: when the
+    caller's (x0, z0, y0) already satisfies the stopping criterion
+    (MPC re-solves where the scenario barely moved), skip the solve
+    entirely — the alternative roundtrips the point through the f32
+    phase, which degrades the dual to f32 precision and then pays a
+    full f64 tail to win the digits back (measured: warm-from-solution
+    at eps 1e-9 cost ~1800 iterations through the shared path, MORE
+    than the 1575 cold count)."""
+    with xprec.highest():
+        Ax = xprec.einsum("...ij,...j->...i", qp64.A, x0)
+        Px = xprec.einsum("...ij,...j->...i", qp64.P, x0)
+        Aty = xprec.einsum("...ji,...j->...i", qp64.A, y0)
+        linf = lambda v: jnp.max(jnp.abs(v), axis=-1)
+        r_p = linf(Ax - z0)
+        r_d = linf(Px + qp64.q + Aty)
+        eps_p = eps_abs + eps_rel * jnp.maximum(linf(Ax), linf(z0))
+        eps_d = eps_abs + eps_rel * jnp.maximum(
+            jnp.maximum(linf(Px), linf(Aty)),
+            jnp.maximum(linf(qp64.q), admm.l1_grad_scale_raw(qp64)))
+        solved = (r_p <= eps_p) & (r_d <= eps_d)
+        return r_p, r_d, solved, objective(qp64, x0, z0)
 
 
 def _s32_of(settings: Settings) -> Settings:
@@ -316,6 +347,159 @@ def _recentered_rounds(qp: QPData, qp64: QPData, sol0: Solution,
     return sol, solved
 
 
+def _f64_continuation(qp: QPData, sol: Solution, settings: Settings,
+                      backend: str, chunk: int = 2000) -> Solution:
+    """Host-chunked, warm-started f64 iteration endgame (config-4 class).
+
+    Degenerate min-fuel SOCPs defeat every f32 stage of this solver:
+    the raw f32 phase chatters orders of magnitude above the 1e-4
+    hand-off (measured on the N=200 low-thrust SOCP: r_p 5.7e-2 after
+    50k iterations, bitwise-identical on CPU and TPU — the exact-f32
+    dot discipline makes the trajectories deterministic across
+    backends), and the re-centered correction rounds are then built
+    around a point so far from the optimum that their dual-base
+    classification (tip vs on-cone, parallel/batch.mask_dual) is
+    meaningless — every round is rejected by the safeguard. What does
+    converge is plain f64 ADMM with the SOC-row rho boost
+    (Settings.rho_soc_scale), so when the delegated f32 machinery comes
+    back unsolved we continue HERE: in f64, warm-started, until
+    solved/stalled or one extra max_iter budget is spent.
+
+    THE ENDGAME RUNS ON THE HOST CPU BACKEND when the live backend is
+    TPU. TPU has no hardware f64; the emulated alternative was measured
+    this round and is unusable end-to-end on this stack: a long
+    emulated-f64 program FAULTS the device (12000 iterations at n=2000
+    — scripts/diag_low_thrust.py f64), short-chunked emulated dispatch
+    plus the emulated-f64 Cholesky in polish ran for 25+ minutes
+    without finishing, and each chunk/polish program costs minutes of
+    remote tracing + server compile. The host CPU has native f64 and
+    in-process compile: the same chunk runs in seconds. This is the
+    rowshard precedent (PERF.md §7 host-side f64 bookkeeping) applied
+    to the last-digit refiner: ALL bulk f32 iteration work stays on
+    the TPU; only the small sequential f64 tail — which no TPU unit
+    accelerates — runs where f64 hardware exists. Iterates (~100 KB)
+    cross the tunnel once per direction; the f64 problem data is built
+    host-side from `qp`.
+
+    rho carries across chunks as a TRACED argument (run_admm rho0), so
+    every chunk reuses one compiled program.
+    """
+    import math
+    f64 = jnp.float64
+
+    host = None
+    backend64 = backend
+    if jax.default_backend() == "tpu":
+        host = jax.local_devices(backend="cpu")[0]
+        # Host backend picks: native f64 scans/chol are fine there; the
+        # banded factor is O(N b^3) vs the dense inverse's O(n^3).
+        if settings.backend == "auto":
+            backend64 = ("banded" if settings.band_block > 0 else "chol")
+
+    def to_host(v):
+        return jax.device_put(v, host) if host is not None else v
+
+    qp64 = jax.tree.map(to_host, qp).astype(f64)
+
+    def clean(v):
+        v = v.astype(f64)
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
+    x, z, y = (clean(to_host(v)) for v in (sol.x, sol.z, sol.y))
+    rho = float(jnp.max(sol.rho))
+    if not (rho > 0.0 and math.isfinite(rho)):
+        rho = settings.rho
+    iters = int(sol.iters)      # python int: ph.iters is host-committed
+    budget = settings.max_iter
+    used = 0
+    out = sol
+    # Chunks run with the stall exit OFF (a chunk is bounded at `chunk`
+    # iterations, so there is nothing to save) — chatter on bang-bang
+    # instances bounces r_p an order of magnitude between checks and a
+    # windowed stall exit mid-chunk would freeze a transient. Progress
+    # is judged ACROSS chunks instead: keep the best point seen, stop
+    # after two consecutive chunks without a new best.
+    s_chunk = settings.replace(
+        precision="single", warm_start=True, polish=False,
+        recenter_rounds=0, max_iter=chunk, stall_checks=0)
+    import contextlib
+    ctx = (jax.default_device(host) if host is not None
+           else contextlib.nullcontext())
+
+    def run_chunk(x_, z_, y_, rho_):
+        with ctx:
+            return _phase_rho_jit(qp64, x_, z_, y_, jnp.float64(rho_),
+                                  s_chunk, backend64)
+
+    def run_polish(ph_):
+        with ctx:
+            return _polish_jit(qp64, ph_, settings.eps_abs,
+                               settings.eps_rel, 1e-4)
+
+    best = float("inf")
+    dry = 0
+    while used < budget and dry < 2:
+        ph = run_chunk(x, z, y, rho)
+        done_it = int(ph.iters)                             # host sync
+        used += done_it
+        iters += done_it
+        if settings.polish:
+            # Tangent-linearized SOC polish between chunks: on the
+            # bang-bang low-thrust SOCP the candidate from a ~1e-5
+            # warm point (6000 boosted-f64 iterations) lands at
+            # r_p 6e-13 / r_d 4e-7 with the correct 191-tip/9-boundary
+            # classification (scripts/diag_low_thrust.py polish) — the round-4
+            # "structurally unbounded" veto was an artifact of
+            # polishing from the broken f32 phase's 5.7e-2 point,
+            # where tip/boundary classification is meaningless.
+            # Acceptance still vetoes bad candidates, so early
+            # attempts cost one factor+solve each and nothing else.
+            pol = run_polish(ph)
+            if int(pol.status) == int(Status.SOLVED):       # host sync
+                return _from_host(Solution(
+                    x=pol.x.astype(qp.dtype),
+                    z=pol.z.astype(qp.dtype),
+                    y=pol.y.astype(qp.dtype), status=pol.status,
+                    iters=jnp.int32(iters),
+                    r_prim=pol.r_prim.astype(qp.dtype),
+                    r_dual=pol.r_dual.astype(qp.dtype),
+                    obj=pol.obj.astype(qp.dtype),
+                    rho=ph.rho.astype(qp.dtype),
+                    history=ph.history), host)
+        score = float(jnp.maximum(ph.r_prim, ph.r_dual))
+        if score < best or int(ph.status) == int(Status.SOLVED):
+            best = score
+            dry = 0
+            out = Solution(
+                x=ph.x, z=ph.z, y=ph.y, status=ph.status,
+                iters=jnp.int32(iters),
+                r_prim=ph.r_prim, r_dual=ph.r_dual, obj=ph.obj,
+                rho=ph.rho, history=ph.history)
+        else:
+            dry += 1
+            out = dataclasses.replace(out, iters=jnp.int32(iters))
+        if int(ph.status) != int(Status.MAX_ITER) or done_it == 0:
+            break
+        x, z, y = ph.x, ph.z, ph.y
+        rho = float(jnp.max(ph.rho))
+    dtype = qp.dtype
+    return _from_host(Solution(
+        x=out.x.astype(dtype), z=out.z.astype(dtype),
+        y=out.y.astype(dtype), status=out.status, iters=out.iters,
+        r_prim=out.r_prim.astype(dtype), r_dual=out.r_dual.astype(dtype),
+        obj=out.obj.astype(dtype), rho=out.rho.astype(dtype),
+        history=out.history), host)
+
+
+def _from_host(sol: Solution, host) -> Solution:
+    """Move a host-computed Solution back onto the default device so
+    callers never mix host- and device-committed leaves."""
+    if host is None:
+        return sol
+    dev = jax.devices()[0]
+    return jax.tree.map(lambda v: jax.device_put(v, dev), sol)
+
+
 def solve(qp: QPData, settings: Settings = Settings(),
           x0=None, z0=None, y0=None) -> Solution:
     """Solve one QP/SOCP. Optional (x0, z0, y0) warm start (A5), unscaled.
@@ -332,6 +516,7 @@ def solve(qp: QPData, settings: Settings = Settings(),
     """
     dtype = qp.dtype
     n, m = qp.n, qp.m
+    warm_given = x0 is not None and z0 is not None and y0 is not None
     if x0 is None:
         x0 = jnp.zeros(qp.P.shape[:-2] + (n,), dtype)
     if z0 is None:
@@ -340,27 +525,52 @@ def solve(qp: QPData, settings: Settings = Settings(),
         y0 = jnp.zeros_like(z0)
     backend = resolve_backend(settings, qp_n=n)
 
+    if warm_given and settings.warm_start and _x64_available():
+        f64 = jnp.float64
+        qp64w = qp.astype(f64)
+        r_p, r_d, ok, obj = _warm_check_jit(
+            qp64w, x0.astype(f64), z0.astype(f64), y0.astype(f64),
+            settings.eps_abs, settings.eps_rel)
+        if bool(ok):                                        # host sync
+            return Solution(
+                x=x0, z=z0, y=y0,
+                status=jnp.int32(int(Status.SOLVED)),
+                iters=jnp.int32(0),
+                r_prim=r_p.astype(dtype), r_dual=r_d.astype(dtype),
+                obj=obj.astype(dtype),
+                rho=jnp.asarray(settings.rho, dtype),
+                history=jnp.zeros((0, 3), dtype))
+
     precision = settings.precision
     if precision == "hybrid" and not _x64_available():
         precision = "single"
     if precision != "hybrid":
         return _solve_jit(qp, x0, z0, y0, settings, backend)
 
-    if qp.cone.m_soc and settings.recenter_rounds > 0:
-        # SOC problems: delegate to the shared-matrix batch core at
-        # B=1 — its dual re-centered rounds (masked box base + Moreau
-        # SOC base + per-round safeguard, parallel/batch.
+    if settings.recenter_rounds > 0 and (qp.cone.m_soc
+                                         or qp.cone.m_l1 == 0):
+        # SOC and BOX-ONLY problems: delegate to the shared-matrix
+        # batch core at B=1 — ONE compiled program for the whole hybrid
+        # pipeline (f32 phase + re-centered rounds + capped f64
+        # fallback under lax.cond), where the staged path below runs
+        # 3-6 small programs with a host sync between each. On the
+        # tunnelled chip one round trip is ~20 ms, so the staged
+        # config-1 solve cost 51 ms pipelined / 83 ms single-shot for
+        # ~5 ms of device work (VERDICT r4 item 6). Measured CPU
+        # iteration counts round 5: box-only problems pay ~1.5-2x
+        # iterations for skipping polish (cfg1 50 -> 100, cfg2 500 ->
+        # 750) — milliseconds of device time against several round
+        # trips saved. L1 problems stay on the staged path: polish is
+        # decisive there (cfg3 625 staged vs 3000 shared — LP-like
+        # chatter without it).
+        #
+        # SOC rounds note: the dual re-centered rounds (masked box base
+        # + Moreau SOC base + per-round safeguard, parallel/batch.
         # _solve_shared_recentered) reach ~1.2e-6 absolute residuals in
-        # pure f32 where the old staged path fell back to the
-        # emulated-f64 phase (the 4.5 s config-4 wall-clock of round
-        # 2). A tangent-linearized SOC polish was built and rejected
-        # for this path in round 4: on degenerate min-fuel SOCPs the
-        # linearized active-set system is unbounded along the tangent
-        # plane (the cone's |u|-cost becomes linear), so the polish
-        # candidate explodes and acceptance vetoes it — see
-        # core/polish.py for the machinery and PERF.md for the
-        # measurements; the curvature-corrected SQP step lands only on
-        # non-degenerate instances (tests/test_polish_soc.py).
+        # pure f32 on non-degenerate SOCPs. Degenerate bang-bang
+        # min-fuel SOCPs (config 4) defeat every f32 stage; the
+        # host-chunked _f64_continuation below (+ its between-chunk
+        # tangent-linearized SOC polish) is what lands 1e-6 there.
         from .parallel.batch import solve_batch_shared
         from .problem import QPData as _QPData
         qpb = _QPData(P=qp.P, q=qp.q, A=qp.A, l=qp.l[None], u=qp.u[None],
@@ -369,15 +579,23 @@ def solve(qp: QPData, settings: Settings = Settings(),
         # default 2 rounds can stop a hair above an ABSOLUTE target and
         # trip the capped f64 fallback — 4 rounds close it in f32, and
         # converged rounds are skipped at runtime anyway.
-        s_soc = settings.replace(
-            recenter_rounds=max(settings.recenter_rounds, 4))
-        solb = solve_batch_shared(qpb, s_soc, x0=x0[None], z0=z0[None],
+        s_del = settings
+        if qp.cone.m_soc:
+            s_del = settings.replace(
+                recenter_rounds=max(settings.recenter_rounds, 4))
+        solb = solve_batch_shared(qpb, s_del, x0=x0[None], z0=z0[None],
                                   y0=y0[None])
-        return Solution(
+        sol = Solution(
             x=solb.x[0], z=solb.z[0], y=solb.y[0],
             status=solb.status[0], iters=solb.iters[0],
             r_prim=solb.r_prim[0], r_dual=solb.r_dual[0],
             obj=solb.obj[0], rho=solb.rho, history=solb.history)
+        done = int(sol.status) in (                         # host sync
+            int(Status.SOLVED), int(Status.PRIMAL_INFEASIBLE),
+            int(Status.DUAL_INFEASIBLE))
+        if done or not _x64_available():
+            return sol
+        return _f64_continuation(qp, sol, settings, backend)
 
     from .utils import aot
 

@@ -68,12 +68,38 @@ def _timed(fn, *args, reps=20, budget_s=3.0):
 
     Rep policy: floor of 5 blocking reps / 2 pipelined batches, early
     stop past `budget_s` per discipline; medians are robust to tunnel
-    hiccups."""
+    hiccups. SLOW configs (single solve > budget_s — config 4's
+    multi-second staged solve) run ONE extra blocking rep and skip the
+    pipelined discipline entirely (`wall_clock_s` = the blocking
+    median): at that scale the ~20 ms tunnel round trip is noise, and
+    11 mandatory solves of a 20 s config is what timed the round-4
+    driver out (VERDICT r4 item 1)."""
     jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     out = fn(*args)
     jax.block_until_ready(out)
     single = time.perf_counter() - t0
+    if single > budget_s:
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        rep2 = time.perf_counter() - t0
+        med = float(np.median([single, rep2]))
+        stats = {
+            "wall_clock_s": med,
+            "wall_clock_min_s": float(min(single, rep2)),
+            "wall_clock_mean_s": float(np.mean([single, rep2])),
+            "wall_clock_spread": float(abs(single - rep2) / med),
+            "pipeline_depth": 1,
+            "pipeline_batches": 0,
+            "wall_clock_blocking_s": med,
+            "wall_clock_blocking_min_s": float(min(single, rep2)),
+            "wall_clock_blocking_spread": float(
+                abs(single - rep2) / med),
+            "reps": 2,
+            "latency_single_shot_s": single,
+        }
+        return out, stats
     times = []
     t_start = time.perf_counter()
     for i in range(max(reps, 5)):
@@ -194,30 +220,26 @@ def bench_low_thrust(seed: int = 0):
     """Config 4: low-thrust SOCP, N=200 nodes, thrust-magnitude cones.
 
     Near-absolute criterion (eps_abs=1e-6, eps_rel=5e-8): the problem
-    is built in canonical units so the absolute term dominates, and
-    with rho_soc_scale=100 (below) the measured landing residual is
-    r_prim ~ 8e-7 — strictly below the absolute 1e-6 target. Without
-    the boost this DEGENERATE min-fuel SOCP (cost linear in the cone
-    t's) plateaus at 1.1e-6 after a 40k-iteration grind, and no cheap
-    endgame exists (tangent-linearized polish is unbounded on
-    degenerate instances — core/polish.py docstring; f64 continuation
-    chatters). Measurements in PERF.md."""
+    is built in canonical units so the absolute term dominates. This
+    DEGENERATE bang-bang SOCP (cost linear in the cone t's, ~191/200
+    blocks at the cone tip at the optimum) defeats every f32 stage of
+    the solver — measured round 5: the raw f32 phase chatters at
+    r_p 5.7e-2 after 50k iterations (bitwise-identical CPU/TPU) and
+    the re-centered rounds are all safeguard-rejected from that point.
+    The pipeline that lands 1e-6 (api.solve SOC delegation +
+    _f64_continuation): f32 stages stall-exit fast (stall_checks=16),
+    then chunked warm-started f64 ADMM with rho_soc_scale=100 (tip
+    rows converge at the equality rate), with a tangent-linearized SOC
+    polish attempt between chunks — the polish lands from a ~1e-5
+    point with the correct 191-tip/9-boundary classification
+    (r_p 6e-13, r_d 4e-7; scripts/diag_low_thrust.py polish). 'inv' replaces
+    the banded scan (200 sequential 10x10 block steps — latency-bound
+    at B=1) with one (n, n) MXU matvec per iteration."""
     s0 = np.array([500.0, -2000.0, 100.0, 0.0, 1.0, -0.1])
     qp, spec = build_low_thrust_socp(s0, N=200)
     s = Settings(eps_abs=EPS, eps_rel=5e-8, band_block=spec.block,
                  max_iter=50000,
-                 # Tuned for this DEGENERATE bang-bang SOCP (CPU sweep,
-                 # round 4): most cone blocks sit at the tip (coast
-                 # arcs) where they act as equalities — rho_soc_scale
-                 # 100 makes them converge at the equality rate
-                 # (40,725 -> ~9k iterations AND r_prim lands strictly
-                 # below absolute 1e-6: 8e-7 vs the unboosted 1.1e-6
-                 # f32 floor). The stall heuristic mis-reads the
-                 # boosted descent's long plateaus, so it is off here;
-                 # 'inv' replaces the banded scan (200 sequential
-                 # 10x10 block steps — latency-bound at B=1) with one
-                 # (n, n) MXU matvec per iteration.
-                 rho_soc_scale=100.0, stall_checks=0, backend="inv")
+                 rho_soc_scale=100.0, stall_checks=16, backend="inv")
     sol, stats = _timed(lambda: solve(qp, s))
     return _report("low_thrust_socp", sol, stats, settings=s)
 

@@ -347,16 +347,21 @@ def adapt_rho(rho_bar, res, settings: Settings):
 
 def run_admm(qp: QPData, scaling: Scaling, settings: Settings,
              x0, z0, y0, backend: str, band_block: int = 0,
-             z_off=None) -> AdmmCarry:
+             z_off=None, rho0=None) -> AdmmCarry:
     """Full on-device solve of the scaled problem (A2 driver).
 
     Returns the final carry (scaled iterates); callers unscale and wrap
     into a Solution. The loop is fully shape-static and jit-safe.
     z_off: optional SCALED shifted-prox offset for L1/SOC rows.
+    rho0: optional TRACED initial rho-bar (warm-rho carry across
+    host-chunked phases — api._f64_continuation — without baking the
+    value into the static Settings hash, which would recompile the
+    whole program per distinct rho).
     """
     dtype = qp.dtype
     eq_mask = is_equality_row(qp)
-    rho0 = jnp.asarray(settings.rho, dtype)
+    rho0 = (jnp.asarray(settings.rho, dtype) if rho0 is None
+            else jnp.asarray(rho0, dtype))
 
     def factor(rho_bar):
         rv = rho_vec_of(rho_bar, eq_mask, settings, qp.cone)

@@ -711,10 +711,18 @@ def _solve_shared_recentered(qp: QPData, x0, z0, y0, settings: Settings,
     # config-4 size (n=2000) that faulted the TPU on the axon stack
     # (same failure class as the emulated-f64 rowshard matvec,
     # PERF.md §7) and on any stack it is minutes of wasted wall-clock.
+    # TPU cap 2000 (not 8000): a long emulated-f64 program FAULTS the
+    # device on this stack — re-measured round 5 (scripts/diag_low_thrust.py f64,
+    # clean single-process run): 12000 iterations at n=2000 -> device
+    # fault; ~2000-3400 in-program f64 iterations run clean. Lanes that
+    # need more f64 than this return MAX_ITER and api.solve's
+    # host-chunked _f64_continuation takes over (2000-iteration chunks,
+    # one program each).
+    f64_cap = 2000 if jax.default_backend() == "tpu" else 8000
     s64 = settings.replace(precision="single", warm_start=True,
                            recenter_rounds=0,
                            stall_checks=max(settings.stall_checks, 16),
-                           max_iter=min(settings.max_iter, 8000))
+                           max_iter=min(settings.max_iter, f64_cap))
 
     def run64(args):
         x_w, z_w, y_w = args
