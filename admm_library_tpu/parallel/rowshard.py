@@ -420,20 +420,31 @@ def solve_rowsharded_hybrid(qp: QPData, mesh: Mesh,
     f32 = jnp.float32
     if not jax.config.jax_enable_x64 or settings.precision != "hybrid":
         return solve_rowsharded(qp, mesh, settings, axis=axis)
+    # ONE Settings (and therefore ONE compiled program) for phase 1 AND
+    # every refinement round: the rounds used to run at a different eps
+    # (absolute target vs relaxed hybrid_eps), which made the first
+    # round a SECOND distinct big program at this config size — and its
+    # first execution faulted the TPU worker on the axon stack even
+    # with a host sync in front (round 4, re-measured round 5: fault at
+    # the round-1 block_until_ready, phase 1 clean). Instead phase 1
+    # runs at the caller's eps with a stall exit (it leaves at the f32
+    # floor ~1e-4 with STALLED — honest, cheap), and the rounds reach
+    # the absolute target at the correction scale where f32 has
+    # headroom. Only problem DATA changes between dispatches.
     s1 = settings.replace(
         precision="single",
-        eps_abs=max(settings.hybrid_eps, settings.eps_abs),
-        eps_rel=max(settings.hybrid_eps, settings.eps_rel),
         sigma=max(settings.sigma, 1e-5),
-        rho_eq_scale=min(settings.rho_eq_scale, 1e2))
+        rho_eq_scale=min(settings.rho_eq_scale, 1e2),
+        stall_checks=max(settings.stall_checks, 16))
     if qp.cone.m_l1 or qp.cone.m_soc:
-        return solve_rowsharded(qp.astype(f32), mesh, s1, axis=axis)
+        s_relaxed = s1.replace(
+            eps_abs=max(settings.hybrid_eps, settings.eps_abs),
+            eps_rel=max(settings.hybrid_eps, settings.eps_rel))
+        return solve_rowsharded(qp.astype(f32), mesh, s_relaxed,
+                                axis=axis)
 
     sol = solve_rowsharded(qp.astype(f32), mesh, s1, axis=axis)
-    # Host sync between the sharded f32 phase and the refinement
-    # rounds: at this config's size, queueing follow-on programs
-    # back-to-back crashed the TPU worker on the axon stack (round 4;
-    # each program runs fine in isolation — verified by bisection).
+    # Host sync between dispatches (part of the same fault class).
     jax.block_until_ready(sol.x)
 
     # The f64 TRUE-residual + re-centering bookkeeping runs HOST-SIDE
@@ -478,8 +489,7 @@ def solve_rowsharded_hybrid(qp: QPData, mesh: Mesh,
     z_t = clean(sol.z)
     iters = int(sol.iters)
     rho = sol.rho
-    s_c = s1.replace(eps_abs=settings.eps_abs, eps_rel=settings.eps_rel,
-                     eps_pinf=0.0, eps_dinf=0.0)
+    s_c = s1            # identical Settings -> the SAME compiled program
     solved = False
     r_p = float(sol.r_prim)
     r_d = float(sol.r_dual)

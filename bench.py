@@ -41,16 +41,46 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(REPO, ".jax_cache"))
 
-BUDGET_S = float(os.environ.get("ADMM_BENCH_BUDGET_S", "1200"))
+BUDGET_S = float(os.environ.get("ADMM_BENCH_BUDGET_S", "1650"))
 T_START = time.time()
 
 _out = {}
 _child = None
 
 
+CAPTURE = os.environ.get("ADMM_BENCH_CAPTURE", "")
+
+
 def _emit():
-    if _out:
-        print(json.dumps(_out), flush=True)
+    if not _out:
+        return
+    print(json.dumps(_out), flush=True)
+    if CAPTURE:
+        # Also maintain the PERF_CONFIGS-style capture from the same
+        # run (one chip session produces both artifacts). Pure-JSON
+        # merge in the parent — no JAX import here.
+        cap = {
+            "hardware": "TPU v5 lite (1 chip)",
+            "date": time.strftime("%Y-%m-%d"),
+            "eps": 1e-6,
+            "timing": {
+                "wall_clock_s": "per-solve PIPELINED wall-clock (slow "
+                                "configs: blocking median — see "
+                                "bench/cli._timed)",
+                "wall_clock_blocking_s": "median of per-rep blocking "
+                                         "calls",
+                "latency_single_shot_s": "one isolated blocking call",
+            },
+            "headline": ({k: _out[k] for k in
+                          ("metric", "value", "vs_baseline")}
+                         if "value" in _out else None),
+            "configs": {k: v for k, v in _out.get("detail", {}).items()
+                        if isinstance(v, dict) and "config" in v},
+        }
+        tmp = CAPTURE + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cap, f, indent=1)
+        os.replace(tmp, CAPTURE)
 
 
 def _on_term(signum, frame):
@@ -75,14 +105,31 @@ _REPORT_NAME = {
 def _run_group(config_names, timeout_s):
     """Run a group of bench configs in one subprocess; merge each JSON
     line (one per config, streamed by bench.cli) into _out as it
-    arrives, re-emitting the full headline line after each."""
+    arrives, re-emitting the full headline line after each.
+
+    Two hang guards (both observed on this stack, round 5):
+    * a watchdog Timer kills the child at the deadline uncondition-
+      ally — the old per-line deadline check only ran when a line
+      ARRIVED, so a child stuck mid-compile blocked the parent past
+      the driver's own timeout;
+    * once every expected config has reported, the child is killed
+      immediately — the axon tunnel teardown at interpreter exit hung
+      a finished child for 13+ minutes while the parent waited on
+      stdout EOF (measured: the round-5 rehearsal burned its whole
+      remaining budget that way and rc=124'd).
+    """
     global _child
+    import threading
     cmd = [sys.executable, "-m", "admm_library_tpu.bench.cli",
            *config_names]
     _child = subprocess.Popen(
         cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=sys.stderr,
         text=True)
-    deadline = time.time() + timeout_s
+    child = _child
+    watchdog = threading.Timer(timeout_s, child.kill)
+    watchdog.daemon = True
+    watchdog.start()
+    expected = {_REPORT_NAME.get(n, n) for n in config_names}
     got = set()
 
     def harvest_line(line):
@@ -109,15 +156,16 @@ def _run_group(config_names, timeout_s):
         _emit()
 
     try:
-        for line in _child.stdout:
+        for line in child.stdout:
             harvest_line(line)
-            if time.time() > deadline:
-                _child.terminate()
+            if got >= expected:
+                child.kill()        # done; don't wait out teardown
                 break
-        _child.wait(timeout=max(5.0, deadline - time.time()))
+        child.wait(timeout=15.0)
     except subprocess.TimeoutExpired:
-        _child.kill()
-    rc = _child.poll()
+        child.kill()
+    watchdog.cancel()
+    rc = child.poll()
     _child = None
     for name in config_names:
         rep_name = _REPORT_NAME.get(name, name)
@@ -129,15 +177,20 @@ def _run_group(config_names, timeout_s):
 
 
 def main():
-    # Groups, most-important first. The headline runs alone so its
-    # evidence line lands within the first couple of minutes; the known
-    # fault-prone configs (rowshard's big-program CG, low-thrust's long
-    # stall grind) each get their own process.
+    # Groups, most-important first: (1) the headline alone so its
+    # evidence line lands within the first few minutes, (2) the other
+    # BASELINE configs, (3) config 4 (slow: f32 prelude + host-f64
+    # endgame), (4) the config-5 horizon-partitioned alternates,
+    # (5) rowshard. Server-side compiles dominate the cold cost of
+    # every group (~1-5 min per distinct program, paid per process on
+    # this stack), so the tail groups are the ones a tight budget
+    # sheds — each gets its own process and an error/skip entry when
+    # it doesn't fit.
     groups = [
         ["monte_carlo_128"],
-        ["monte_carlo", "horizon_spike", "consensus_mc",
-         "random_qp", "mpc_rendezvous", "cw_minfuel"],
+        ["random_qp", "mpc_rendezvous", "cw_minfuel", "monte_carlo"],
         ["low_thrust_socp"],
+        ["horizon_spike", "consensus_mc"],
         ["rowshard"],
     ]
     for g in groups:
