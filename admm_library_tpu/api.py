@@ -590,10 +590,20 @@ def solve(qp: QPData, settings: Settings = Settings(),
             status=solb.status[0], iters=solb.iters[0],
             r_prim=solb.r_prim[0], r_dual=solb.r_dual[0],
             obj=solb.obj[0], rho=solb.rho, history=solb.history)
+        # Box-only problems return WITHOUT any host sync: the shared
+        # program's internal rounds + capped f64 fallback are the whole
+        # pipeline, so solve() stays one async dispatch and back-to-back
+        # solves overlap (measured: the B=1 config-1 program is 0.79 ms
+        # on device; a status readback on this tunnel costs ~20 ms and
+        # serialises every pipelined call behind it). Only SOC problems
+        # pay the status check — they are the ones whose f32 machinery
+        # can fail wholesale (config 4) and need _f64_continuation.
+        if not qp.cone.m_soc or not _x64_available():
+            return sol
         done = int(sol.status) in (                         # host sync
             int(Status.SOLVED), int(Status.PRIMAL_INFEASIBLE),
             int(Status.DUAL_INFEASIBLE))
-        if done or not _x64_available():
+        if done:
             return sol
         return _f64_continuation(qp, sol, settings, backend)
 

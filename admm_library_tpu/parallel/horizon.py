@@ -23,11 +23,15 @@ Per-iteration cross-device traffic (all ICI-sized):
              state block; A'y scatters back the next part's first rows).
   residuals  pmax over 'horizon'; liveness/rho-geomean psum over 'data'.
 
-Scope (v1): box cones (the rendezvous MPC family), shared P/A across
-scenarios, precision 'single'/'double' (the staged hybrid/recenter/
-polish pipeline stays on the un-partitioned drivers — this module's job
-is the horizon-scaling program structure, proven by iterate parity with
-solve_batch_shared in tests/test_horizon.py and the driver dryrun gate).
+Scope: box + L1 + uniform-SOC cones laid out [box | L1 | SOC] per part
+with identical per-type counts across parts (round 5 — free-row padding
+for box/L1; SOC blocks must be time-local, uniform-dim, equal-count,
+which every model family here satisfies), shared P/A across scenarios,
+precision 'single'/'double'. The staged hybrid/recenter/polish pipeline
+stays on the un-partitioned drivers — this module's job is the
+horizon-scaling program structure, proven by iterate parity with
+solve_batch_shared in tests/test_horizon.py (box, L1, and SOC cases)
+and the driver dryrun gate.
 
 Reference basis: the reference ships no code (/root/reference/README.md:1-2,
 SURVEY.md §0); this realises BASELINE.json "north_star" horizon-block
