@@ -22,7 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Measured per-file wall-clock (s), round 5, warm compile cache.
 WEIGHTS = {
-    "test_backend_crossover.py": 70,
+    "test_backend_crossover.py": 35,
     "test_batch_shared.py": 66,
     "test_solver.py": 60,
     "test_consensus.py": 45,

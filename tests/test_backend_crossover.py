@@ -55,7 +55,7 @@ def _solve_time(qp, spec, rho, rhs, backend, reps=20):
     return (time.perf_counter() - t0) / reps, x
 
 
-@pytest.mark.parametrize("N", [56, 455])
+@pytest.mark.parametrize("N", [56, 228])
 def test_backends_agree(N):
     qp, spec, rho, rhs = _setup(N)
     _, x_inv = _solve_time(qp, spec, rho, rhs, "inv", reps=1)
@@ -67,13 +67,13 @@ def test_backends_agree(N):
 
 def test_banded_inv_ratio_trend():
     """banded/inv per-iteration time ratio decreases with n (block size
-    fixed): N=56 -> n=504 vs N=455 -> n=4095. Slack 0.9: the model
-    ratio shrinks ~8x ((b^2/n) scaling), so even heavy CI noise keeps
-    the ordering."""
+    fixed): N=56 -> n=504 vs N=228 -> n=2052 (just past the TPU 'auto'
+    threshold). Slack 0.9: the model ratio shrinks ~4x ((b^2/n)
+    scaling), so even heavy CI noise keeps the ordering."""
     ratios = {}
-    for N in (56, 455):
+    for N in (56, 228):
         qp, spec, rho, rhs = _setup(N)
         t_inv, _ = _solve_time(qp, spec, rho, rhs, "inv")
         t_band, _ = _solve_time(qp, spec, rho, rhs, "banded")
         ratios[N] = t_band / max(t_inv, 1e-9)
-    assert ratios[455] < 0.9 * ratios[56], ratios
+    assert ratios[228] < 0.9 * ratios[56], ratios
