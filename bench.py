@@ -112,11 +112,17 @@ def _run_group(config_names, timeout_s):
       ally — the old per-line deadline check only ran when a line
       ARRIVED, so a child stuck mid-compile blocked the parent past
       the driver's own timeout;
-    * once every expected config has reported, the child is killed
-      immediately — the axon tunnel teardown at interpreter exit hung
-      a finished child for 13+ minutes while the parent waited on
-      stdout EOF (measured: the round-5 rehearsal burned its whole
-      remaining budget that way and rc=124'd).
+    * once every expected config has reported, the child is terminated
+      — the axon tunnel teardown at interpreter exit hung a finished
+      child for 13+ minutes while the parent waited on stdout EOF
+      (measured: the round-5 rehearsal burned its whole remaining
+      budget that way and rc=124'd).
+
+    Both guards send SIGTERM first and SIGKILL only after a grace
+    period: a SIGKILLed client leaves its axon server session held and
+    the NEXT TPU process blocks until the server times it out
+    (measured round 5: ~8 minutes of dead tunnel after a watchdog
+    kill; SIGTERM lets the PJRT client release the session).
     """
     global _child
     import threading
@@ -126,7 +132,7 @@ def _run_group(config_names, timeout_s):
         cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=sys.stderr,
         text=True)
     child = _child
-    watchdog = threading.Timer(timeout_s, child.kill)
+    watchdog = threading.Timer(timeout_s, child.terminate)
     watchdog.daemon = True
     watchdog.start()
     expected = {_REPORT_NAME.get(n, n) for n in config_names}
@@ -159,11 +165,15 @@ def _run_group(config_names, timeout_s):
         for line in child.stdout:
             harvest_line(line)
             if got >= expected:
-                child.kill()        # done; don't wait out teardown
+                child.terminate()   # done; don't wait out teardown
                 break
-        child.wait(timeout=15.0)
+        child.wait(timeout=20.0)
     except subprocess.TimeoutExpired:
         child.kill()
+        try:
+            child.wait(timeout=5.0)
+        except subprocess.TimeoutExpired:
+            pass
     watchdog.cancel()
     rc = child.poll()
     _child = None
